@@ -1,0 +1,225 @@
+"""Configuration system for mmda_tpu.
+
+A single frozen dataclass replaces the reference's argparse->Config attribute bag
+(reference: src/config.py:99-170).  Every knob in the reference parser is kept with
+its name and default so command lines written for the reference keep working.
+
+Design differences from the reference (deliberate, documented):
+
+* The reference re-parses argv four times per run (src/train.py:39,54-56) and once
+  per `to_gpu` call (src/utils/convert.py:8-10) and mutates the config from the
+  data layer (src/data_loader.py:35-39).  Here the config is parsed once and is
+  immutable; data-derived fields (visual/acoustic feature sizes, vocab) live in a
+  separate `DataMeta` record produced by the data pipeline.
+* Optimizer / activation names map to *registries* of pure JAX functions instead
+  of torch classes (reference src/config.py:24-27).
+* The reference silently never uses `weight_decay` (parsed at src/config.py:143,
+  never passed to the optimizer at src/solver.py:97-99).  We reproduce the
+  effective behavior by default (`weight_decay` is kept as a flag but only applied
+  when `apply_weight_decay=True`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def str2bool(v) -> bool:
+    """String to boolean, accepting the same spellings as the reference
+    (src/config.py:61-68)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+# ---------------------------------------------------------------------------
+# Registries (name -> constructor).  Reference: src/config.py:24-27.
+# ---------------------------------------------------------------------------
+
+ACTIVATIONS = (
+    "elu",
+    "hardshrink",
+    "hardtanh",
+    "leakyrelu",
+    "prelu",
+    "relu",
+    "rrelu",
+    "tanh",
+)
+
+OPTIMIZERS = ("Adam", "RMSprop", "AdamW", "SGD")
+
+DATASETS = ("mosi", "mosei", "ur_funny", "synthetic")
+
+EVAL_MODES = ("macro", "micro", "weighted")
+
+
+@dataclass(frozen=True)
+class Config:
+    """Frozen run configuration.  Field names mirror the reference parser
+    (src/config.py:106-158)."""
+
+    # Mode
+    mode: str = "train"
+    runs: int = 5
+    use_confidNet: bool = False
+    device: str = "tpu"           # reference default 'cuda'; here a JAX platform
+    eval_mode: str = "macro"
+
+    # Bert
+    use_bert: bool = True
+    use_cmd_sim: bool = True
+
+    # Data
+    data: str = "mosei"
+
+    # Train
+    name: str = "run"
+    num_classes: int = 6
+    batch_size: int = 64
+    eval_batch_size: int = 10
+    n_epoch: int = 40
+    patience: int = 6
+
+    diff_weight: float = 0.3      # beta
+    sim_weight: float = 0.7       # alpha
+    sp_weight: float = 0.0        # vestigial in the reference (never added to loss)
+    recon_weight: float = 0.7     # gamma
+    conf_weight: float = 0.3
+
+    learning_rate: float = 1e-4
+    optimizer: str = "Adam"
+    clip: float = 1.0
+    weight_decay: float = 0.1     # parsed but unused by the reference; see module doc
+    apply_weight_decay: bool = False
+
+    extractor: str = "lstm"       # one of {lstm, transformer}
+    rnncell: str = "lstm"         # one of {lstm, gru}
+    embedding_size: int = 300
+    hidden_size: int = 128
+    dropout: float = 0.1
+    reverse_grad_weight: float = 1.0
+    activation: str = "leakyrelu"
+    threshold: float = 0.35
+
+    # Model
+    model: str = "MISA"
+
+    # ---- new framework knobs (not in the reference) ----
+    seed: int = 336               # reference seeds torch/numpy with 336 (src/train.py:46-51)
+    # Data / shapes
+    data_dir: str = "./datasets"
+    word_emb_path: Optional[str] = None
+    sdk_dir: Optional[str] = None
+    bert_model_dir: Optional[str] = None  # local HF bert-base-uncased dir (optional)
+    max_seq_len: int = 64         # fixed text-length cap (bucketed; XLA static shapes)
+    bucket_sizes: Tuple[int, ...] = (16, 32, 64)
+    visual_size: int = 35         # MOSEI FACET default; overridden by DataMeta
+    acoustic_size: int = 74       # MOSEI COVAREP default; overridden by DataMeta
+    vocab_size: int = 32000
+
+    # Numerics / behavior flags
+    compute_dtype: str = "bfloat16"   # activations; params & cell state stay fp32
+    fix_conf_loss: bool = False   # True -> sane per-class BCE-style conf loss
+                                  # False -> replicate reference soft-target CE
+                                  # over the batch axis (src/solver.py:451-462)
+    missing_modality: str = "none"    # none|visual|acoustic|both: zero streams
+    missing_modality_prob: float = 0.0  # train-time random modality dropout prob
+
+    # Parallelism
+    dp_size: int = -1             # -1: all devices on the 'data' axis
+    tp_size: int = 1              # 'model' axis size (BERT weight sharding)
+
+    # Engine
+    ckpt_dir: str = "checkpoints"
+    resume: bool = False
+    log_every: int = 50
+    log_sinks: Tuple[str, ...] = ("stdout",)
+    profile_dir: Optional[str] = None
+    use_pallas: bool = True       # Pallas kernels where beneficial (XLA fallback)
+    use_wandb: bool = False
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+    def __post_init__(self):
+        if self.activation not in ACTIVATIONS:
+            raise ValueError(f"activation must be one of {ACTIVATIONS}, got {self.activation!r}")
+        if self.optimizer not in OPTIMIZERS:
+            raise ValueError(f"optimizer must be one of {OPTIMIZERS}, got {self.optimizer!r}")
+        if self.eval_mode not in EVAL_MODES:
+            raise ValueError(f"eval_mode must be one of {EVAL_MODES}, got {self.eval_mode!r}")
+        if self.rnncell not in ("lstm", "gru"):
+            raise ValueError(f"rnncell must be lstm|gru, got {self.rnncell!r}")
+        if self.missing_modality not in ("none", "visual", "acoustic", "both"):
+            raise ValueError(f"bad missing_modality {self.missing_modality!r}")
+
+    def __str__(self) -> str:
+        # Pretty-print like the reference Config.__str__ (src/config.py:92-96)
+        return "Configurations\n" + self.to_json()
+
+
+@dataclass(frozen=True)
+class DataMeta:
+    """Data-derived facts the reference wrote back into its Config
+    (src/data_loader.py:35-39).  Kept separate so Config stays immutable."""
+
+    visual_size: int
+    acoustic_size: int
+    vocab_size: int
+    num_train: int = 0
+    num_dev: int = 0
+    num_test: int = 0
+    label_dim: int = 7            # MOSEI: sentiment + 6 emotions
+    has_pretrained_emb: bool = False
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Argparse front-end mirroring the reference flags (src/config.py:106-158)
+    plus the new framework flags."""
+    p = argparse.ArgumentParser(description="mmda_tpu trainer")
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    for name, f in fields.items():
+        default = f.default
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            p.add_argument(f"--{name}", type=str2bool, default=default)
+        elif isinstance(default, tuple):
+            p.add_argument(f"--{name}", type=lambda s: tuple(
+                int(x) if x.isdigit() else x for x in s.split(",")), default=default)
+        elif isinstance(default, int):
+            p.add_argument(f"--{name}", type=int, default=default)
+        elif isinstance(default, float):
+            p.add_argument(f"--{name}", type=float, default=default)
+        else:
+            p.add_argument(f"--{name}", type=str, default=default)
+    return p
+
+
+def get_config(parse: bool = True, argv=None, **optional_kwargs) -> Config:
+    """Build a Config, mirroring the reference entry (src/config.py:99-170):
+    parse argv, then override with explicit kwargs."""
+    if parse:
+        ns = build_parser().parse_args(argv)
+        kw = vars(ns)
+    else:
+        kw = {}
+    kw.update(optional_kwargs)
+    # Normalize None-like strings coming from the CLI
+    for k in ("word_emb_path", "sdk_dir", "bert_model_dir", "profile_dir"):
+        if kw.get(k) in ("", "None", "none"):
+            kw[k] = None
+    return Config(**kw)

@@ -1,0 +1,16 @@
+"""Test configuration: run everything on a faked 8-device CPU mesh.
+
+The driver validates multi-chip sharding the same way (SURVEY.md §4.4); real TPU
+benchmarking happens in bench.py, not in tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
