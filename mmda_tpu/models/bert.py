@@ -1,0 +1,280 @@
+"""Functional BERT encoder (bert-base-uncased architecture), TPU-first.
+
+Replaces the reference's HuggingFace PyTorch `BertModel`
+(reference src/models.py:44-45,187-196).  Pure-JAX implementation:
+
+  * post-LayerNorm transformer encoder, GELU FFN, learned absolute positions -
+    the exact bert-base-uncased computation (hidden 768, 12 layers, 12 heads,
+    FFN 3072, vocab 30522, max_pos 512);
+  * everything is batched matmuls/einsums that XLA tiles onto the MXU;
+    sequence lengths here are tiny (<= max word count + 2), so plain fused
+    attention IS the speed-of-light kernel - no flash attention needed for this
+    workload (SURVEY.md §2.9); a Pallas flash-attention kernel is still provided
+    in ops/pallas/attention.py for long-sequence configs;
+  * weights load from a HuggingFace PyTorch checkpoint directory when available
+    (`load_hf_weights`), else random init with the BERT initializer (trunc
+    normal 0.02);
+  * layer freezing (reference src/solver.py:69-73: encoder layers <= 8 frozen
+    for mosei) is expressed as an optax mask produced by `frozen_mask` - frozen
+    params skip optimizer state entirely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+
+    @staticmethod
+    def base() -> "BertConfig":
+        return BertConfig()
+
+    @staticmethod
+    def tiny(vocab_size: int = 128) -> "BertConfig":
+        """Small config for unit tests."""
+        return BertConfig(
+            vocab_size=vocab_size, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _dense(key, d_in, d_out, std):
+    kw, _ = jax.random.split(key)
+    return {
+        "kernel": jax.random.truncated_normal(kw, -2, 2, (d_in, d_out), jnp.float32) * std,
+        "bias": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def _ln(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_bert_params(key, cfg: BertConfig) -> Dict:
+    std = cfg.initializer_range
+    H = cfg.hidden_size
+    keys = jax.random.split(key, cfg.num_layers + 4)
+    k_emb, k_pos, k_typ, k_pool = keys[:4]
+    params: Dict[str, Any] = {
+        "embeddings": {
+            "word": jax.random.truncated_normal(k_emb, -2, 2, (cfg.vocab_size, H), jnp.float32) * std,
+            "position": jax.random.truncated_normal(k_pos, -2, 2, (cfg.max_position_embeddings, H), jnp.float32) * std,
+            "token_type": jax.random.truncated_normal(k_typ, -2, 2, (cfg.type_vocab_size, H), jnp.float32) * std,
+            "ln": _ln(H),
+        },
+        "layers": [],
+        "pooler": _dense(k_pool, H, H, std),
+    }
+    for i in range(cfg.num_layers):
+        k = jax.random.split(keys[4 + i], 6)
+        params["layers"].append(
+            {
+                "q": _dense(k[0], H, H, std),
+                "k": _dense(k[1], H, H, std),
+                "v": _dense(k[2], H, H, std),
+                "attn_out": _dense(k[3], H, H, std),
+                "attn_ln": _ln(H),
+                "ffn_in": _dense(k[4], H, cfg.intermediate_size, std),
+                "ffn_out": _dense(k[5], cfg.intermediate_size, H, std),
+                "ffn_ln": _ln(H),
+            }
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(p, x, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _apply_dense(p, x, compute_dtype):
+    return jnp.dot(
+        x, p["kernel"].astype(compute_dtype), preferred_element_type=jnp.float32
+    ).astype(compute_dtype) + p["bias"].astype(compute_dtype)
+
+
+def _dropout(key, x, rate, deterministic):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def bert_encode(
+    params: Dict,
+    cfg: BertConfig,
+    input_ids: jnp.ndarray,         # (B, S) int32
+    attention_mask: jnp.ndarray,    # (B, S) 1 for real tokens
+    token_type_ids: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Return the last hidden state (B, S, H) - what the reference consumes as
+    bert_output[0] (src/models.py:191)."""
+    B, S = input_ids.shape
+    H = cfg.hidden_size
+    nh = cfg.num_heads
+    hd = H // nh
+
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+
+    emb = (
+        params["embeddings"]["word"][input_ids]
+        + params["embeddings"]["position"][jnp.arange(S)][None, :, :]
+        + params["embeddings"]["token_type"][token_type_ids]
+    )
+    x = _layer_norm(params["embeddings"]["ln"], emb, cfg.layer_norm_eps).astype(compute_dtype)
+
+    if not deterministic:
+        rngs = jax.random.split(dropout_rng, 3 * cfg.num_layers + 1)
+        x = _dropout(rngs[0], x, cfg.hidden_dropout, deterministic)
+
+    # additive mask: 0 for real tokens, -1e9 (bf16-safe large negative) for pads
+    neg = jnp.asarray(-1e9, jnp.float32)
+    attn_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * neg
+
+    scale = 1.0 / np.sqrt(hd)
+    for i, lp in enumerate(params["layers"]):
+        q = _apply_dense(lp["q"], x, compute_dtype).reshape(B, S, nh, hd)
+        k = _apply_dense(lp["k"], x, compute_dtype).reshape(B, S, nh, hd)
+        v = _apply_dense(lp["v"], x, compute_dtype).reshape(B, S, nh, hd)
+        # (B, nh, S, S) logits in fp32 for a stable softmax
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + attn_bias
+        probs = jax.nn.softmax(logits, axis=-1)
+        if not deterministic:
+            probs = _dropout(rngs[3 * i + 1], probs, cfg.attention_dropout, deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(compute_dtype), v,
+                         preferred_element_type=jnp.float32).astype(compute_dtype)
+        ctx = ctx.reshape(B, S, H)
+        attn = _apply_dense(lp["attn_out"], ctx, compute_dtype)
+        if not deterministic:
+            attn = _dropout(rngs[3 * i + 2], attn, cfg.hidden_dropout, deterministic)
+        x = _layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps).astype(compute_dtype)
+
+        h = _apply_dense(lp["ffn_in"], x, compute_dtype)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(compute_dtype)
+        h = _apply_dense(lp["ffn_out"], h, compute_dtype)
+        if not deterministic:
+            h = _dropout(rngs[3 * i + 3], h, cfg.hidden_dropout, deterministic)
+        x = _layer_norm(lp["ffn_ln"], x + h, cfg.layer_norm_eps).astype(compute_dtype)
+
+    return x
+
+
+# ---------------------------------------------------------------------------
+# HF weight ingestion + freezing
+# ---------------------------------------------------------------------------
+
+_HF_LAYER_MAP = {
+    "q": "attention.self.query",
+    "k": "attention.self.key",
+    "v": "attention.self.value",
+    "attn_out": "attention.output.dense",
+    "ffn_in": "intermediate.dense",
+    "ffn_out": "output.dense",
+}
+
+
+def load_hf_weights(model_dir: str, cfg: Optional[BertConfig] = None) -> Dict:
+    """Load a local HuggingFace PyTorch bert checkpoint into our param tree.
+
+    Accepts a directory containing pytorch_model.bin or model.safetensors.
+    torch is used only for deserialization (no torch compute).
+    """
+    cfg = cfg or BertConfig.base()
+    sd = None
+    st_path = os.path.join(model_dir, "model.safetensors")
+    pt_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        sd = {k: np.asarray(v) for k, v in load_file(st_path).items()}
+    elif os.path.exists(pt_path):
+        import torch
+
+        sd = {k: v.numpy() for k, v in torch.load(pt_path, map_location="cpu").items()}
+    else:
+        raise FileNotFoundError(f"no bert weights under {model_dir}")
+
+    def g(name):
+        for prefix in ("bert.", ""):
+            if prefix + name in sd:
+                return jnp.asarray(sd[prefix + name])
+        raise KeyError(name)
+
+    params: Dict[str, Any] = {
+        "embeddings": {
+            "word": g("embeddings.word_embeddings.weight"),
+            "position": g("embeddings.position_embeddings.weight"),
+            "token_type": g("embeddings.token_type_embeddings.weight"),
+            "ln": {"scale": g("embeddings.LayerNorm.weight"),
+                   "bias": g("embeddings.LayerNorm.bias")},
+        },
+        "layers": [],
+        "pooler": {"kernel": g("pooler.dense.weight").T, "bias": g("pooler.dense.bias")},
+    }
+    for i in range(cfg.num_layers):
+        base = f"encoder.layer.{i}."
+        lp = {}
+        for ours, theirs in _HF_LAYER_MAP.items():
+            lp[ours] = {"kernel": g(base + theirs + ".weight").T,
+                        "bias": g(base + theirs + ".bias")}
+        lp["attn_ln"] = {"scale": g(base + "attention.output.LayerNorm.weight"),
+                         "bias": g(base + "attention.output.LayerNorm.bias")}
+        lp["ffn_ln"] = {"scale": g(base + "output.LayerNorm.weight"),
+                        "bias": g(base + "output.LayerNorm.bias")}
+        params["layers"].append(lp)
+    return params
+
+
+def frozen_mask(params: Dict, max_frozen_layer: int = 8) -> Dict:
+    """Pytree of bools: True where the param is FROZEN.
+
+    Mirrors the reference freeze rule (src/solver.py:69-73): encoder layers with
+    index <= max_frozen_layer are frozen; embeddings and later layers train.
+    """
+
+    def layer_mask(i, layer):
+        frozen = i <= max_frozen_layer
+        return jax.tree_util.tree_map(lambda _: frozen, layer)
+
+    return {
+        "embeddings": jax.tree_util.tree_map(lambda _: False, params["embeddings"]),
+        "layers": [layer_mask(i, l) for i, l in enumerate(params["layers"])],
+        "pooler": jax.tree_util.tree_map(lambda _: False, params["pooler"]),
+    }
