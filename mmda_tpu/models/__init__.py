@@ -1,0 +1,33 @@
+"""Model zoo + registry.
+
+The reference resolves models by name via `getattr(models, config.model)`
+(reference src/solver.py:63); here it's an explicit registry of
+(init_fn, forward_fn) pairs.
+"""
+
+from mmda_tpu.models.misa import Batch, MISAOutput, init_misa_params, misa_forward
+
+_REGISTRY = {
+    "MISA": (init_misa_params, misa_forward),
+}
+
+
+def register_model(name, init_fn, forward_fn):
+    _REGISTRY[name] = (init_fn, forward_fn)
+
+
+def get_model(name):
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown model {name!r}; registered: {sorted(_REGISTRY)}")
+
+
+__all__ = [
+    "Batch",
+    "MISAOutput",
+    "init_misa_params",
+    "misa_forward",
+    "register_model",
+    "get_model",
+]
