@@ -1,0 +1,109 @@
+"""Device mesh + sharding layer: the framework's "distributed backend".
+
+The reference has NO distributed code (SURVEY.md §2.3 - its only gesture is a
+commented-out nn.DataParallel at src/solver.py:88-91).  Here parallelism is
+first-class and TPU-native: a ('data', 'model') `jax.sharding.Mesh`, batch
+sharded over 'data' (DP with gradient allreduce emitted by XLA SPMD over ICI),
+and BERT attention/MLP weights shardable over 'model' (TP) - the mesh design
+BASELINE.json's north star asks for.
+
+PP/EP/CP are not applicable to this workload (no MoE, tiny sequences; SURVEY.md
+§2.3) - the mesh plumbing is the extension point if a future model needs them.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh.  dp=-1 uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp < 1 or n % tp:
+        raise ValueError(f"tp={tp} must divide device count {n}")
+    if dp == -1:
+        dp = n // tp
+    if dp * tp != n:
+        devices = devices[: dp * tp]
+    # NOTE: jax.experimental.mesh_utils is deliberately avoided - under the
+    # axon TPU tunnel a site wrapper overrides the `devices` argument.
+    arr = np.empty((dp, tp), dtype=object)
+    for i, d in enumerate(devices):
+        arr[i // tp, i % tp] = d
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh with the batch axis sharded over
+    'data'.  Works for any pytree whose leaves lead with the batch axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+# ---------------------------------------------------------------------------
+# Parameter partition specs (TP for the BERT tower)
+# ---------------------------------------------------------------------------
+
+
+def _bert_layer_spec(layer: dict, tp: bool) -> dict:
+    """Megatron-style sharding: qkv/ffn_in column-parallel, attn_out/ffn_out
+    row-parallel, LayerNorms replicated."""
+    if not tp:
+        return jax.tree_util.tree_map(lambda _: P(), layer)
+    spec = {}
+    for name, sub in layer.items():
+        if name in ("q", "k", "v", "ffn_in"):
+            spec[name] = {"kernel": P(None, MODEL_AXIS), "bias": P(MODEL_AXIS)}
+        elif name in ("attn_out", "ffn_out"):
+            spec[name] = {"kernel": P(MODEL_AXIS, None), "bias": P()}
+        else:  # layer norms
+            spec[name] = jax.tree_util.tree_map(lambda _: P(), sub)
+    return spec
+
+
+def param_partition_specs(params: Any, tp: bool = False) -> Any:
+    """PartitionSpec pytree for the MISA param tree.  Everything outside the
+    BERT encoder is small (<1M params) and stays replicated; BERT layers get
+    Megatron TP when tp=True."""
+
+    def default(tree):
+        return jax.tree_util.tree_map(lambda _: P(), tree)
+
+    if not isinstance(params, dict) or "bert" not in params:
+        return default(params)
+
+    spec = {k: default(v) for k, v in params.items() if k != "bert"}
+    bert = params["bert"]
+    spec["bert"] = {
+        "embeddings": default(bert["embeddings"]),
+        "layers": [_bert_layer_spec(l, tp) for l in bert["layers"]],
+        "pooler": default(bert["pooler"]),
+    }
+    return spec
+
+
+def shard_params(params: Any, mesh: Mesh, tp: Optional[bool] = None) -> Any:
+    """Place params on the mesh per `param_partition_specs`."""
+    if tp is None:
+        tp = mesh.shape[MODEL_AXIS] > 1
+    specs = param_partition_specs(params, tp)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

@@ -1,0 +1,61 @@
+"""The training objective: exact reference loss composition (SURVEY.md §2.2).
+
+loss = cls
+     + diff_weight * diff
+     + sim_weight  * (cmd if use_cmd_sim else domain)
+     + recon_weight * recon
+     [+ conf_weight * conf   when use_confidNet]
+
+Reference: src/solver.py:163-181 with defaults diff=0.3, sim=0.7, recon=0.7,
+conf=0.3 (src/config.py:134-138).  Note sp_weight exists but the sp loss is
+never added in the reference (src/solver.py:175-181) - reproduced (we compute
+sp logits but no sp loss term).  conf is computed every step even when unused,
+like the reference (src/solver.py:168,193), for logging parity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from mmda_tpu.config import Config
+from mmda_tpu.models.misa import Batch, MISAOutput
+from mmda_tpu.ops import losses as L
+
+
+def compute_losses(cfg: Config, out: MISAOutput, batch: Batch) -> Dict[str, jnp.ndarray]:
+    emo = batch.emo_label.astype(jnp.float32)
+
+    cls_loss = L.bce_sum_over_classes(out.scores, emo)
+    diff = L.diff_loss_total(
+        out.private_t, out.private_v, out.private_a,
+        out.shared_t, out.shared_v, out.shared_a,
+    )
+    recon = L.recon_loss_total(
+        out.recon_t, out.orig_t, out.recon_v, out.orig_v, out.recon_a, out.orig_a
+    )
+    if cfg.use_cmd_sim:
+        sim = L.cmd_loss_total(out.shared_t, out.shared_v, out.shared_a)
+    else:
+        sim = L.domain_loss(out.domain_t, out.domain_v, out.domain_a)
+
+    conf = L.conf_loss(out.scores, emo, out.tcp, fix=cfg.fix_conf_loss)
+
+    total = (
+        cls_loss
+        + cfg.diff_weight * diff
+        + cfg.sim_weight * sim
+        + cfg.recon_weight * recon
+    )
+    if cfg.use_confidNet:
+        total = total + cfg.conf_weight * conf
+
+    return {
+        "total": total,
+        "cls": cls_loss,
+        "diff": diff,
+        "sim": sim,
+        "recon": recon,
+        "conf": conf,
+    }

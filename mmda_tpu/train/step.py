@@ -1,0 +1,114 @@
+"""Jit'd train/eval steps.
+
+The reference's hot loop (src/solver.py:139-193) does per-batch H2D copies,
+a forward, five Python loss getters, backward, clip, step, then SIX .item()
+device syncs.  Here the entire step body is ONE jit'd function with a donated
+train state: forward + all losses + grad + clip + Adam + state update, no host
+sync (metrics stream back as device arrays the loop reads once per epoch/log
+interval).  Under a mesh the same function is pjit-sharded: batch over 'data',
+params replicated (or TP-sharded), gradient allreduce emitted by XLA over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mmda_tpu.config import Config
+from mmda_tpu.models.bert import BertConfig
+from mmda_tpu.models.misa import Batch
+from mmda_tpu.ops import losses as L
+from mmda_tpu.train.objective import compute_losses
+from mmda_tpu.train.state import TrainState
+
+
+def _static_modality_keep(cfg: Config, batch_size: int) -> Optional[jnp.ndarray]:
+    """Static missing-modality configuration (eval-time adaptation):
+    'visual'/'acoustic'/'both' zero those streams for every example."""
+    if cfg.missing_modality == "none":
+        return None
+    keep = jnp.ones((batch_size, 3))
+    if cfg.missing_modality in ("visual", "both"):
+        keep = keep.at[:, 1].set(0.0)
+    if cfg.missing_modality in ("acoustic", "both"):
+        keep = keep.at[:, 2].set(0.0)
+    return keep
+
+
+def _sample_modality_keep(cfg: Config, rng, batch_size: int) -> Optional[jnp.ndarray]:
+    """Train-time random modality dropout (the 'dynamic adaptation' feature):
+    with prob p, independently zero the visual / acoustic stream per example.
+    Text is never dropped (it carries the labels' main signal)."""
+    static = _static_modality_keep(cfg, batch_size)
+    if cfg.missing_modality_prob <= 0.0:
+        return static
+    kv, ka = jax.random.split(rng)
+    keep_v = jax.random.bernoulli(kv, 1.0 - cfg.missing_modality_prob, (batch_size,))
+    keep_a = jax.random.bernoulli(ka, 1.0 - cfg.missing_modality_prob, (batch_size,))
+    keep = jnp.stack([jnp.ones(batch_size), keep_v, keep_a], axis=1).astype(jnp.float32)
+    if static is not None:
+        keep = keep * static
+    return keep
+
+
+def make_train_step(
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    forward_fn: Callable,
+    bert_cfg: Optional[BertConfig] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    def loss_fn(params, batch: Batch, rng, modality_keep):
+        out = forward_fn(
+            params, cfg, batch, bert_cfg=bert_cfg,
+            deterministic=False, rng=rng, modality_keep=modality_keep,
+        )
+        losses = compute_losses(cfg, out, batch)
+        return losses["total"], losses
+
+    def step(state: TrainState, batch: Batch):
+        rng, r_drop, r_model = jax.random.split(state.rng, 3)
+        keep = _sample_modality_keep(cfg, r_drop, batch.emo_label.shape[0])
+        grads, losses = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, r_model, keep
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        return new_state, losses
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    cfg: Config,
+    forward_fn: Callable,
+    bert_cfg: Optional[BertConfig] = None,
+) -> Callable[[Any, Batch], Dict[str, jnp.ndarray]]:
+    """Deterministic forward returning everything host-side eval needs:
+    binarized labels, scores, and the cls loss computed with exact reference
+    semantics (per-class batch-mean BCE summed over classes,
+    src/solver.py:353-356).  Static missing-modality zeroing applies here too
+    (the eval half of the adaptation feature)."""
+
+    def step(params, batch: Batch):
+        keep = _static_modality_keep(cfg, batch.emo_label.shape[0])
+        out = forward_fn(
+            params, cfg, batch, bert_cfg=bert_cfg,
+            deterministic=True, modality_keep=keep,
+        )
+        cls_loss = L.bce_sum_over_classes(out.scores, batch.emo_label)
+        return {
+            "scores": out.scores,
+            "labels": out.labels,
+            "tcp": out.tcp,
+            "cls_loss": cls_loss,
+        }
+
+    return jax.jit(step)
