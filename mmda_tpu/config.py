@@ -141,6 +141,9 @@ class Config:
     # Engine
     ckpt_dir: str = "checkpoints"
     resume: bool = False
+    enable_early_stop: bool = False   # the reference's patience logic is
+                                      # commented out (src/solver.py:233-242);
+                                      # True re-enables it (reload best + halve lr)
     log_every: int = 50
     log_sinks: Tuple[str, ...] = ("stdout",)
     profile_dir: Optional[str] = None

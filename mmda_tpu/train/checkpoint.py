@@ -1,0 +1,93 @@
+"""Checkpointing: full train-state save/restore + best-on-dev export.
+
+The reference saves model/optimizer state_dicts on every dev improvement
+(reference src/solver.py:218-223) and only ever reloads the model for the final
+test (:323-325) - optimizer state is written but never restored, and there is
+no mid-run resume (SURVEY.md §5).  Here the WHOLE TrainState pytree (params,
+optimizer state, step counter, PRNG key) round-trips atomically, giving real
+preemption-safe resume; writes happen on a background thread (async
+checkpointing) with an atomic rename so a preempted write never corrupts the
+previous checkpoint.
+
+Serialization: flax msgpack (framework-native, no pickle of arbitrary code).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    name: str,
+    state: Any,
+    metadata: Optional[Dict] = None,
+    async_write: bool = False,
+) -> threading.Thread | None:
+    """Serialize `state` to {ckpt_dir}/{name}.msgpack (+ .json metadata).
+
+    Atomic: writes to a temp file then renames.  With async_write=True the
+    device->host transfer happens synchronously (cheap) and the disk write on a
+    daemon thread; returns the thread so callers can join before exit.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    host_state = _to_host(state)
+    payload = serialization.to_bytes(host_state)
+    meta = dict(metadata or {})
+
+    def write():
+        path = os.path.join(ckpt_dir, f"{name}.msgpack")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        mpath = os.path.join(ckpt_dir, f"{name}.json")
+        mtmp = mpath + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+        os.replace(mtmp, mpath)
+
+    if async_write:
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        return t
+    write()
+    return None
+
+
+def load_checkpoint(ckpt_dir: str, name: str, template: Any) -> Any:
+    """Restore into the structure of `template` (shapes/dtypes must match)."""
+    path = os.path.join(ckpt_dir, f"{name}.msgpack")
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(template, data)
+
+
+def load_metadata(ckpt_dir: str, name: str) -> Dict:
+    path = os.path.join(ckpt_dir, f"{name}.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def checkpoint_exists(ckpt_dir: str, name: str) -> bool:
+    return os.path.exists(os.path.join(ckpt_dir, f"{name}.msgpack"))
+
+
+def best_model_name(cfg) -> str:
+    """Best-on-dev export name, mirroring the reference artifact naming
+    best_model_MISA[_C]_{dataset}.pt (src/utils/tools.py:15-21)."""
+    suffix = "_C" if cfg.use_confidNet else ""
+    return f"best_model_{cfg.model}{suffix}_{cfg.data}"
