@@ -1,0 +1,91 @@
+"""Headline benchmark: MOSEI train-step throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": "mosei_train_utterances_per_sec", "value": N,
+   "unit": "utterances/s", "vs_baseline": N}
+
+The workload is the full flagship configuration - MISA with a bert-base text
+tower (random-init weights; FLOPs identical to pretrained), batch 64, seq 48
+words (+2 BERT specials), the exact training objective, Adam + clip - i.e. the
+reference hot loop (src/solver.py:139-193) as one jit'd step.
+
+vs_baseline compares against the measured PyTorch-CPU reference-equivalent step
+(benchmarks/baseline_torch_cpu.json, produced by benchmarks/torch_baseline.py
+on this host).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+
+    from mmda_tpu.config import Config
+    from mmda_tpu.data.synthetic import SyntheticSpec, make_split
+    from mmda_tpu.models import Batch, get_model
+    from mmda_tpu.models.bert import BertConfig, frozen_mask
+    from mmda_tpu.train.state import create_train_state, make_optimizer
+    from mmda_tpu.train.step import make_train_step
+
+    B, T = 64, 48
+    cfg = Config(
+        use_bert=True, batch_size=B, max_seq_len=T,
+        compute_dtype="bfloat16", data="mosei", name="bench",
+    )
+    bert_cfg = BertConfig.base()
+
+    spec = SyntheticSpec(num_examples=B, max_len=T, seed=0)
+    split = make_split(spec)
+    # full-length rows: steady-state shape (worst-case padding)
+    split["lengths"][:] = T
+    split["bert_mask"][:] = 1
+    batch = Batch(**{k: jax.device_put(v) for k, v in split.items()})
+
+    init_fn, fwd_fn = get_model(cfg.model)
+    params = init_fn(jax.random.PRNGKey(0), cfg, bert_cfg=bert_cfg)
+    frozen = jax.tree_util.tree_map(lambda _: False, params)
+    frozen["bert"] = frozen_mask(params["bert"], max_frozen_layer=8)
+    tx = make_optimizer(cfg, frozen)
+    state = create_train_state(cfg, params, jax.random.PRNGKey(1), frozen)
+    step = make_train_step(cfg, tx, fwd_fn, bert_cfg)
+
+    # warmup / compile
+    for _ in range(3):
+        state, losses = step(state, batch)
+    jax.block_until_ready(losses["total"])
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, losses = step(state, batch)
+    jax.block_until_ready(losses["total"])
+    dt = time.perf_counter() - t0
+
+    per_step = dt / n_steps
+    utt_per_sec = B / per_step
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "baseline_torch_cpu.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            vs = utt_per_sec / json.load(f)["value"]
+
+    print(json.dumps({
+        "metric": "mosei_train_utterances_per_sec",
+        "value": round(utt_per_sec, 2),
+        "unit": "utterances/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

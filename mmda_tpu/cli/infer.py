@@ -1,0 +1,82 @@
+"""Inference CLI - net-new surface: the reference's src/inference.py is a
+one-line TODO stub (reference src/inference.py:1).
+
+Loads the best-on-dev checkpoint exported by training
+(checkpoints/best_model_MISA[_C]_{data}.msgpack), runs batched prediction over
+a split (or synthetic data), prints emotion metrics, and writes predictions.
+
+Usage:
+  python -m mmda_tpu.cli.infer --data mosei --mode test
+  python -m mmda_tpu.cli.infer --data synthetic --mode test --missing_modality visual
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+
+    from mmda_tpu.config import get_config
+    from mmda_tpu.cli.train import load_data
+    from mmda_tpu.data.loader import ArrayLoader
+    from mmda_tpu.models import get_model
+    from mmda_tpu.models.bert import BertConfig
+    from mmda_tpu.train import checkpoint as ckpt
+    from mmda_tpu.train.step import make_eval_step
+    from mmda_tpu.utils.metrics import get_accuracy, get_metrics
+
+    cfg = get_config(argv=argv)
+    data, pretrained_emb = load_data(cfg)
+    split = data[cfg.mode if cfg.mode in data else "test"]
+
+    init_fn, fwd_fn = get_model(cfg.model)
+    bert_cfg = BertConfig.base() if cfg.use_bert else None
+    template = init_fn(
+        jax.random.PRNGKey(0), cfg,
+        visual_size=split["visual"].shape[-1],
+        acoustic_size=split["acoustic"].shape[-1],
+        vocab_size=int(split["text"].max()) + 1,
+        bert_cfg=bert_cfg,
+        pretrained_emb=pretrained_emb,
+    )
+    name = ckpt.best_model_name(cfg)
+    if not ckpt.checkpoint_exists(cfg.ckpt_dir, name):
+        raise FileNotFoundError(
+            f"{cfg.ckpt_dir}/{name}.msgpack not found - train first "
+            f"(python -m mmda_tpu.cli.train --data {cfg.data})")
+    params = ckpt.load_checkpoint(cfg.ckpt_dir, name, template)
+
+    eval_step = make_eval_step(cfg, fwd_fn, bert_cfg)
+    loader = ArrayLoader(split, batch_size=cfg.batch_size, shuffle=False)
+
+    scores, labels, truths, tcps = [], [], [], []
+    for batch in loader:
+        out = eval_step(params, batch)
+        w = np.asarray(batch.sample_weight) > 0
+        scores.append(np.asarray(out["scores"])[w])
+        labels.append(np.asarray(out["labels"])[w])
+        tcps.append(np.asarray(out["tcp"])[w])
+        truths.append(np.asarray(batch.emo_label)[w])
+    scores = np.concatenate(scores)
+    labels = np.concatenate(labels)
+    truths = np.concatenate(truths)
+    tcps = np.concatenate(tcps)
+
+    metrics = get_metrics(truths, labels)
+    metrics["acc"] = get_accuracy(truths, labels)
+    print(json.dumps(metrics, indent=2, default=float))
+
+    out_path = os.path.join(cfg.ckpt_dir, f"predictions_{cfg.name}_{cfg.mode}.npz")
+    np.savez_compressed(out_path, scores=scores, labels=labels,
+                        truths=truths, tcp=tcps)
+    print(f"predictions written to {out_path}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

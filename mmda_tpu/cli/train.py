@@ -1,0 +1,74 @@
+"""Training CLI - the `python src/train.py` equivalent (reference
+src/train.py:36-72), with the same flags via mmda_tpu.config.
+
+Usage:
+  python -m mmda_tpu.cli.train --data mosei
+  python -m mmda_tpu.cli.train --data mosei --use_confidNet True   # train_confid.sh
+  python -m mmda_tpu.cli.train --data mosei --eval_mode micro \
+         --learning_rate 1e-5 --dropout 0.7                        # train_micro.sh
+  python -m mmda_tpu.cli.train --data synthetic --n_epoch 2        # hermetic smoke
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def load_data(cfg):
+    from mmda_tpu.data import load_splits, make_dataset
+
+    if cfg.data == "synthetic":
+        return make_dataset(num_train=512, num_dev=128, num_test=128,
+                            max_len=cfg.max_seq_len), None
+    data_dir = os.path.join(cfg.data_dir, cfg.data.upper())
+    splits = load_splits(data_dir)
+    emb_path = os.path.join(data_dir, "glove_emb.npy")
+    emb = np.load(emb_path) if os.path.exists(emb_path) else None
+    return splits, emb
+
+
+def main(argv=None):
+    from mmda_tpu.config import get_config
+    from mmda_tpu.train.loop import Trainer
+    from mmda_tpu.utils.logging import MetricLogger
+
+    cfg = get_config(argv=argv)
+    if cfg.use_wandb and "wandb" not in cfg.log_sinks:
+        cfg = cfg.replace(log_sinks=tuple(cfg.log_sinks) + ("wandb",))
+    print(cfg)
+
+    data, pretrained_emb = load_data(cfg)
+    logger = MetricLogger(cfg.log_sinks, run_name=cfg.name)
+    trainer = Trainer(cfg, data, pretrained_emb=pretrained_emb, logger=logger)
+
+    if cfg.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(cfg.profile_dir)
+    summary = trainer.train()
+    if cfg.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+
+    print("=" * 50)
+    print(f"Best epoch: {summary['best_epoch']}")
+    print(f"Accuracy: {summary['test_acc']}")
+    print(f"F1 score: {summary['test_f1']}")
+    print(f"Precision: {summary['test_precision']}")
+    print(f"Recall: {summary['test_recall']}")
+    out_path = os.path.join(cfg.ckpt_dir, f"summary_{cfg.name}.json")
+    os.makedirs(cfg.ckpt_dir, exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump({k: v for k, v in summary.items() if k != "history"}, f,
+                  indent=2, default=float)
+    logger.close()
+    return summary
+
+
+if __name__ == "__main__":
+    main()
