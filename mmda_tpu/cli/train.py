@@ -57,10 +57,12 @@ def main(argv=None):
 
     print("=" * 50)
     print(f"Best epoch: {summary['best_epoch']}")
-    print(f"Accuracy: {summary['test_acc']}")
-    print(f"F1 score: {summary['test_f1']}")
-    print(f"Precision: {summary['test_precision']}")
-    print(f"Recall: {summary['test_recall']}")
+    for label, key in (("Accuracy", "test_acc"), ("F1 score", "test_f1"),
+                       ("Precision", "test_precision"), ("Recall", "test_recall"),
+                       ("MAE", "test_mae"), ("Corr", "test_corr"),
+                       ("Acc2", "test_acc2")):
+        if key in summary:
+            print(f"{label}: {summary[key]}")
     out_path = os.path.join(cfg.ckpt_dir, f"summary_{cfg.name}.json")
     os.makedirs(cfg.ckpt_dir, exist_ok=True)
     with open(out_path, "w") as f:

@@ -112,6 +112,11 @@ class Config:
 
     # Model
     model: str = "MISA"
+    task: str = "auto"            # auto|classification|regression|binary
+                                  # auto: mosei/synthetic -> 6-way multilabel
+                                  # classification; mosi -> sentiment regression
+                                  # (reference criterion_dict 'mosi': L1Loss,
+                                  # src/config.py:34-38); ur_funny -> binary humor
 
     # ---- new framework knobs (not in the reference) ----
     seed: int = 336               # reference seeds torch/numpy with 336 (src/train.py:46-51)
@@ -147,11 +152,23 @@ class Config:
     log_every: int = 50
     log_sinks: Tuple[str, ...] = ("stdout",)
     profile_dir: Optional[str] = None
-    use_pallas: bool = True       # Pallas kernels where beneficial (XLA fallback)
+    use_pallas: bool = False      # fused Pallas LSTM kernel (XLA scan fallback).
+                                  # Off by default: TPU microbenchmarks
+                                  # (benchmarks/bench_kernels.py) show mixed
+                                  # wins at MOSEI sizes; enable per-run.
     use_wandb: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    def resolved_task(self) -> str:
+        if self.task != "auto":
+            return self.task
+        if self.data == "mosi":
+            return "regression"
+        if self.data == "ur_funny":
+            return "binary"
+        return "classification"
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -170,6 +187,8 @@ class Config:
             raise ValueError(f"rnncell must be lstm|gru, got {self.rnncell!r}")
         if self.missing_modality not in ("none", "visual", "acoustic", "both"):
             raise ValueError(f"bad missing_modality {self.missing_modality!r}")
+        if self.task not in ("auto", "classification", "regression", "binary"):
+            raise ValueError(f"bad task {self.task!r}")
 
     def __str__(self) -> str:
         # Pretty-print like the reference Config.__str__ (src/config.py:92-96)

@@ -116,7 +116,8 @@ def _gru_step(h, x_proj_ih, b_hh, w_hh_t):
 # ---------------------------------------------------------------------------
 
 
-def _scan_direction(p, x, mask, cell: str, reverse: bool):
+def _scan_direction(p, x, mask, cell: str, reverse: bool,
+                    use_pallas: Optional[bool] = None):
     """Run one direction over (B, T, F) input.
 
     mask: (B, T) 1.0 where t < length.  Masked steps hold the carry, which
@@ -143,6 +144,16 @@ def _scan_direction(p, x, mask, cell: str, reverse: bool):
     x_proj = jnp.swapaxes(x_proj, 0, 1)          # (T, B, G*H) time-major scan
     m = jnp.swapaxes(mask, 0, 1)[..., None].astype(f32)  # (T, B, 1)
     w_hh_t = p["w_hh"].T.astype(f32)
+
+    if use_pallas is None:
+        from mmda_tpu.ops import pallas as pallas_flags
+
+        use_pallas = pallas_flags.is_enabled()
+    if use_pallas and cell == "lstm":
+        from mmda_tpu.ops.pallas.lstm import lstm_scan
+
+        ys, hT = lstm_scan(x_proj.astype(f32), w_hh_t, m, reverse)
+        return jnp.swapaxes(ys, 0, 1), hT
 
     h0 = jnp.zeros((B, H), f32)
 

@@ -265,8 +265,14 @@ def misa_forward(
     tcp = jax.nn.sigmoid(linear(params["confidence"], h))
     logits = linear(params["classifier"], h)
     logits = dropout(r_cls, logits, cfg.dropout, deterministic)
-    scores = jax.nn.sigmoid(logits)
-    labels = binarize(scores, cfg.threshold)
+    if cfg.resolved_task() == "regression":
+        # sentiment regression head: raw linear output, no binarization
+        # (reference criterion_dict 'mosi': L1Loss, src/config.py:34-38)
+        scores = logits.astype(jnp.float32)
+        labels = scores
+    else:
+        scores = jax.nn.sigmoid(logits)
+        labels = binarize(scores, cfg.threshold)
 
     return MISAOutput(
         scores=scores, labels=labels, tcp=tcp,

@@ -1,0 +1,242 @@
+"""Fused masked-LSTM recurrence as a Pallas TPU kernel (fwd + BPTT bwd).
+
+The north-star kernel deliverable (SURVEY.md §2.9): replaces the cuDNN packed
+bi-LSTM.  Design:
+
+  * The big input projection x @ W_ih^T (most FLOPs) stays OUTSIDE in XLA -
+    one large MXU matmul (models/bilstm.py hoists it).  The kernel fuses the
+    sequential part: the whole T-step loop runs in ONE kernel launch with h/c
+    held in VMEM, one small (B,H)x(H,4H) MXU matmul + gate elementwise per
+    step.  Under lax.scan XLA issues per-step kernels; fusing the loop removes
+    the per-step dispatch/HBM round-trips for h and c.
+  * Packed-sequence masking (t >= length holds the carry) is fused in.
+  * Full custom_vjp: the backward kernel runs BPTT in one launch, recomputing
+    gates from saved (h, c) sequences (no gate storage), accumulating dW_hh in
+    a VMEM scratch.
+  * fp32 throughout the recurrence (LSTM numerics; SURVEY.md hard part #1).
+
+Equivalence vs the XLA scan path is tested in tests/test_pallas_lstm.py
+(interpret mode on CPU; compiled on TPU in bench_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
+                h_fin_ref, c_fin_ref, *, reverse: bool):
+    T, B, G = x_proj_ref.shape
+    H = G // 4
+    w = w_hh_t_ref[:]                     # (H, G)
+
+    def step(i, carry):
+        h, c = carry
+        t = (T - 1 - i) if reverse else i
+        xp = x_proj_ref[t]                # (B, G)
+        m = mask_ref[t]                   # (B, 1)
+        gates = xp + jnp.dot(h, w, preferred_element_type=jnp.float32)
+        ig = jax.nn.sigmoid(gates[:, :H])
+        fg = jax.nn.sigmoid(gates[:, H:2 * H])
+        gg = jnp.tanh(gates[:, 2 * H:3 * H])
+        og = jax.nn.sigmoid(gates[:, 3 * H:])
+        c_new = fg * c + ig * gg
+        h_new = og * jnp.tanh(c_new)
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        ys_ref[t] = h
+        cs_ref[t] = c
+        return (h, c)
+
+    h0 = jnp.zeros((B, H), jnp.float32)
+    c0 = jnp.zeros((B, H), jnp.float32)
+    hT, cT = jax.lax.fori_loop(0, T, step, (h0, c0))
+    h_fin_ref[:] = hT
+    c_fin_ref[:] = cT
+
+
+def _fwd_call(x_proj, w_hh_t, mask, reverse: bool):
+    T, B, G = x_proj.shape
+    H = G // 4
+    kernel = functools.partial(_fwd_kernel, reverse=reverse)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),   # ys
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),   # cs
+            jax.ShapeDtypeStruct((B, H), jnp.float32),      # h_final
+            jax.ShapeDtypeStruct((B, H), jnp.float32),      # c_final
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(x_proj, w_hh_t, mask)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (BPTT)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
+                dys_ref, dh_fin_ref, dc_fin_ref,
+                dx_ref, dw_ref, dw_acc, *, reverse: bool):
+    T, B, G = x_proj_ref.shape
+    H = G // 4
+    w = w_hh_t_ref[:]                     # (H, G);  dh_prev = dgates @ (H,G)^T
+
+    dw_acc[:] = jnp.zeros_like(dw_acc)
+
+    def step(i, carry):
+        dh, dc = carry                    # grads wrt h_t, c_t (post-mask)
+        # iterate in REVERSE temporal order of the forward pass
+        t = i if reverse else (T - 1 - i)
+        prev_t = (t + 1) if reverse else (t - 1)
+        first = (t == (T - 1)) if reverse else (t == 0)
+
+        dh = dh + dys_ref[t]
+        m = mask_ref[t]                   # (B, 1)
+
+        h_prev = jnp.where(first, jnp.zeros((B, H), jnp.float32), ys_ref[prev_t])
+        c_prev = jnp.where(first, jnp.zeros((B, H), jnp.float32), cs_ref[prev_t])
+
+        # recompute gates at step t
+        gates = x_proj_ref[t] + jnp.dot(h_prev, w, preferred_element_type=jnp.float32)
+        ig = jax.nn.sigmoid(gates[:, :H])
+        fg = jax.nn.sigmoid(gates[:, H:2 * H])
+        gg = jnp.tanh(gates[:, 2 * H:3 * H])
+        og = jax.nn.sigmoid(gates[:, 3 * H:])
+        c_new = fg * c_prev + ig * gg
+        tanh_c = jnp.tanh(c_new)
+
+        # unmask: forward did h_t = m*h_new + (1-m)*h_prev
+        dh_new = m * dh
+        dc_new = m * dc
+        dh_pass = (1.0 - m) * dh          # straight-through to h_prev
+        dc_pass = (1.0 - m) * dc
+
+        dc_new = dc_new + dh_new * og * (1.0 - tanh_c * tanh_c)
+        d_og = dh_new * tanh_c
+        d_ig = dc_new * gg
+        d_fg = dc_new * c_prev
+        d_gg = dc_new * ig
+        dc_prev = dc_new * fg + dc_pass
+
+        dgates = jnp.concatenate(
+            [
+                d_ig * ig * (1.0 - ig),
+                d_fg * fg * (1.0 - fg),
+                d_gg * (1.0 - gg * gg),
+                d_og * og * (1.0 - og),
+            ],
+            axis=1,
+        )                                  # (B, G)
+
+        dx_ref[t] = dgates
+        # dh_prev = dgates @ W_hh  == dgates @ w^T  (w is (H, G))
+        dh_prev = jnp.dot(dgates, w.T, preferred_element_type=jnp.float32) + dh_pass
+        # dW_hh^T accumulation: (H, G) += h_prev^T @ dgates
+        dw_acc[:] += jnp.dot(h_prev.T, dgates, preferred_element_type=jnp.float32)
+        return (dh_prev, dc_prev)
+
+    dh0 = dh_fin_ref[:]
+    dc0 = dc_fin_ref[:]
+    jax.lax.fori_loop(0, T, step, (dh0, dc0))
+    dw_ref[:] = dw_acc[:]
+
+
+def _bwd_call(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin, reverse: bool):
+    T, B, G = x_proj.shape
+    H = G // 4
+    kernel = functools.partial(_bwd_kernel, reverse=reverse)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, G), jnp.float32),   # dx_proj
+            jax.ShapeDtypeStruct((H, G), jnp.float32),      # dw_hh_t
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((H, G), jnp.float32)],
+        interpret=_interpret(),
+    )(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def lstm_scan(x_proj, w_hh_t, mask, reverse: bool = False):
+    """Masked LSTM recurrence over time-major inputs.
+
+    Args:
+      x_proj: (T, B, 4H) precomputed x@W_ih^T + b_ih + b_hh, fp32.
+      w_hh_t: (H, 4H) recurrent weight, TRANSPOSED (hidden-major), fp32.
+      mask:   (T, B, 1) fp32 validity mask.
+      reverse: process t = T-1..0 (backward direction of a bi-LSTM).
+    Returns:
+      ys: (T, B, H) hidden states (carry-held at masked steps).
+      h_final: (B, H) state at each sequence's true length.
+    """
+    ys, cs, h_fin, c_fin = _fwd_call(x_proj, w_hh_t, mask, reverse)
+    return ys, h_fin
+
+
+def _lstm_scan_fwd(x_proj, w_hh_t, mask, reverse):
+    ys, cs, h_fin, c_fin = _fwd_call(x_proj, w_hh_t, mask, reverse)
+    return (ys, h_fin), (x_proj, w_hh_t, mask, ys, cs)
+
+
+def _lstm_scan_bwd(reverse, res, grads):
+    x_proj, w_hh_t, mask, ys, cs = res
+    dys, dh_fin = grads
+    dc_fin = jnp.zeros_like(dh_fin)
+    dx, dw = _bwd_call(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin, reverse)
+    return dx, dw, None
+
+
+lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Enable/interpret plumbing
+# ---------------------------------------------------------------------------
+
+_FORCE_INTERPRET = False
+
+
+def _interpret() -> bool:
+    if _FORCE_INTERPRET:
+        return True
+    return jax.default_backend() not in ("tpu",)
+
+
+def set_force_interpret(value: bool) -> None:
+    """Testing hook: run kernels in interpreter mode even off-TPU."""
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = value

@@ -33,6 +33,17 @@ from mmda_tpu.train.state import TrainState, create_train_state, make_optimizer,
 from mmda_tpu.train.step import make_eval_step, make_train_step
 from mmda_tpu.utils.logging import MetricLogger
 from mmda_tpu.utils.metrics import get_accuracy, get_metrics, select_by_eval_mode
+from mmda_tpu.utils.sentiment_metrics import eval_binary, eval_mosei_senti
+
+
+def task_metrics(task: str, truths: np.ndarray, preds: np.ndarray) -> dict:
+    """Task-appropriate eval metrics: multilabel (src/utils/eval.py), sentiment
+    regression (src/utils/eval_metrics.py:37-78), or binary (:83-92)."""
+    if task == "regression":
+        return eval_mosei_senti(preds, truths)
+    if task == "binary":
+        return eval_binary(preds.reshape(-1) > 0.5, truths.reshape(-1) > 0.5)
+    return get_metrics(truths, preds)
 
 
 class Trainer:
@@ -50,6 +61,15 @@ class Trainer:
         use_mesh: bool = True,
         logger: Optional[MetricLogger] = None,
     ):
+        self.task = cfg.resolved_task()
+        if self.task in ("regression", "binary") and cfg.num_classes != 1:
+            cfg = cfg.replace(num_classes=1)
+        if self.task == "binary":
+            # binary humor label lives in column 0 (ETL packs it there)
+            data = {
+                k: {**v, "emo_label": v["emo_label"][:, :1]}
+                for k, v in data.items()
+            }
         self.cfg = cfg
         self.data = data
         self.bert_cfg = bert_cfg or (BertConfig.base() if cfg.use_bert else None)
@@ -69,6 +89,10 @@ class Trainer:
         self.mesh = None
         if use_mesh and (len(jax.devices()) > 1 or cfg.tp_size > 1):
             self.mesh = pmesh.make_mesh(dp=cfg.dp_size, tp=cfg.tp_size)
+
+        from mmda_tpu.ops import pallas as pallas_flags
+
+        pallas_flags.set_enabled(cfg.use_pallas and jax.default_backend() == "tpu")
 
         self._build()
 
@@ -186,7 +210,7 @@ class Trainer:
                 pending.append(ckpt.save_checkpoint(
                     cfg.ckpt_dir, ckpt.best_model_name(cfg), self.state.params,
                     {"epoch": e, "valid_loss": valid_loss}, async_write=True))
-                eval_values = get_metrics(best_truths, best_results)
+                eval_values = task_metrics(self.task, best_truths, best_results)
                 curr_patience = cfg.patience
             elif cfg.enable_early_stop:
                 # reference's commented-out logic (src/solver.py:233-242):
@@ -214,8 +238,10 @@ class Trainer:
                     len(train_loader) * cfg.batch_size / max(epoch_time, 1e-9), 1),
                 **{f"train_{k}": v for k, v in stacked.items() if k != "total"},
             }
-            if eval_values:
+            if eval_values and self.task == "classification":
                 payload.update(select_by_eval_mode(eval_values, cfg.eval_mode))
+            elif eval_values:
+                payload.update({f"dev_{k}": v for k, v in eval_values.items()})
             self.logger.log(payload, step=int(self.state.step))
             history.append(payload)
 
@@ -231,7 +257,7 @@ class Trainer:
                 "test", params=best_params)
         else:
             test_loss, test_acc, test_preds, test_truths = self.evaluate("test")
-        test_metrics = get_metrics(test_truths, test_preds)
+        test_metrics = task_metrics(self.task, test_truths, test_preds)
 
         summary = {
             "best_epoch": best_epoch,
@@ -250,7 +276,8 @@ class Trainer:
     def evaluate(self, mode: str, params=None) -> tuple:
         """Eval pass with exact reference aggregation (src/solver.py:311-370):
         eval_loss = mean over batches of (sum over classes of batch-mean BCE),
-        accuracy = multilabel Jaccard over all rows."""
+        accuracy = multilabel Jaccard over all rows.  For regression the loss
+        is L1 and preds/truths are (sentiment_pred, sentiment_true)."""
         params = params if params is not None else self.state.params
         loader = self._loader(mode, shuffle=False)
         losses, preds, truths = [], [], []
@@ -259,9 +286,17 @@ class Trainer:
             w = np.asarray(batch.sample_weight) > 0
             bce = np.asarray(out["bce"])[w]             # (real_rows, C)
             losses.append(float(np.sum(np.mean(bce, axis=0))))
-            preds.append(np.asarray(out["labels"])[w])
-            truths.append(np.asarray(batch.emo_label)[w])
+            if self.task == "regression":
+                preds.append(np.asarray(out["scores"])[w][:, 0])
+                truths.append(np.asarray(batch.sentiment)[w])
+            else:
+                preds.append(np.asarray(out["labels"])[w])
+                truths.append(np.asarray(batch.emo_label)[w])
         eval_loss = float(np.mean(losses))
         y_pred = np.concatenate(preds, axis=0)
         y_true = np.concatenate(truths, axis=0)
-        return eval_loss, get_accuracy(y_true, y_pred), y_pred, y_true
+        if self.task == "regression":
+            acc = float(np.mean((y_pred >= 0) == (y_true >= 0)))  # acc2 w/ zeros
+        else:
+            acc = get_accuracy(y_true, y_pred)
+        return eval_loss, acc, y_pred, y_true

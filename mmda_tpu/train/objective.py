@@ -27,7 +27,12 @@ from mmda_tpu.ops import losses as L
 def compute_losses(cfg: Config, out: MISAOutput, batch: Batch) -> Dict[str, jnp.ndarray]:
     emo = batch.emo_label.astype(jnp.float32)
 
-    cls_loss = L.bce_sum_over_classes(out.scores, emo)
+    task = cfg.resolved_task()
+    if task == "regression":
+        # L1 sentiment regression (reference criterion_dict 'mosi': L1Loss)
+        cls_loss = jnp.mean(jnp.abs(out.scores[:, 0] - batch.sentiment))
+    else:
+        cls_loss = L.bce_sum_over_classes(out.scores, emo)
     diff = L.diff_loss_total(
         out.private_t, out.private_v, out.private_a,
         out.shared_t, out.shared_v, out.shared_a,
@@ -40,7 +45,10 @@ def compute_losses(cfg: Config, out: MISAOutput, batch: Batch) -> Dict[str, jnp.
     else:
         sim = L.domain_loss(out.domain_t, out.domain_v, out.domain_a)
 
-    conf = L.conf_loss(out.scores, emo, out.tcp, fix=cfg.fix_conf_loss)
+    if task == "regression":
+        conf = jnp.zeros(())   # ConfidNet targets are class confidences
+    else:
+        conf = L.conf_loss(out.scores, emo, out.tcp, fix=cfg.fix_conf_loss)
 
     total = (
         cls_loss

@@ -103,14 +103,19 @@ def make_eval_step(
             params, cfg, batch, bert_cfg=bert_cfg,
             deterministic=True, modality_keep=keep,
         )
-        cls_loss = L.bce_sum_over_classes(out.scores, batch.emo_label)
-        # per-example-per-class BCE so the host can aggregate with exact
-        # reference semantics over REAL rows when the last batch is padded
-        p = out.scores.astype(jnp.float32)
-        t = batch.emo_label.astype(jnp.float32)
-        log_p = jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), -100.0)
-        log_1p = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 0.0)), -100.0)
-        bce = -(t * log_p + (1.0 - t) * log_1p)
+        if cfg.resolved_task() == "regression":
+            err = jnp.abs(out.scores[:, 0] - batch.sentiment)
+            cls_loss = jnp.mean(err)
+            bce = err[:, None]                       # (B, 1) per-example L1
+        else:
+            cls_loss = L.bce_sum_over_classes(out.scores, batch.emo_label)
+            # per-example-per-class BCE so the host can aggregate with exact
+            # reference semantics over REAL rows when the last batch is padded
+            p = out.scores.astype(jnp.float32)
+            t = batch.emo_label.astype(jnp.float32)
+            log_p = jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), -100.0)
+            log_1p = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 0.0)), -100.0)
+            bce = -(t * log_p + (1.0 - t) * log_1p)
         return {
             "scores": out.scores,
             "labels": out.labels,

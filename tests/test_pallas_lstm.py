@@ -1,0 +1,68 @@
+"""Pallas fused-LSTM kernel equivalence vs the XLA scan path (interpret mode
+on CPU; compiled on real TPU by benchmarks/bench_kernels.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mmda_tpu.models import bilstm
+from mmda_tpu.ops.pallas import lstm as plstm
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    plstm.set_force_interpret(True)
+    yield
+    plstm.set_force_interpret(False)
+
+
+def _setup(B=4, T=6, F=5, H=4):
+    params = bilstm.rnn_params(jax.random.PRNGKey(0), F, H, "lstm")
+    x = jnp.array(RNG.normal(size=(B, T, F)).astype(np.float32))
+    lengths = jnp.array([T, 2, 4, 1][:B])
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+    return params, x, lengths, mask
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_forward_matches_xla_scan(reverse):
+    params, x, lengths, mask = _setup()
+    p = params["fwd"]
+    ys_x, h_x = bilstm._scan_direction(p, x, mask, "lstm", reverse, use_pallas=False)
+    ys_p, h_p = bilstm._scan_direction(p, x, mask, "lstm", reverse, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gradients_match_xla_scan(reverse):
+    params, x, lengths, mask = _setup()
+    p = params["fwd"]
+
+    def loss(p, x, use_pallas):
+        ys, h = bilstm._scan_direction(p, x, mask, "lstm", reverse, use_pallas=use_pallas)
+        # weight outputs so both ys and final-state gradients are exercised
+        return jnp.sum(ys ** 2) + 3.0 * jnp.sum(h * jnp.arange(h.size).reshape(h.shape))
+
+    gx = jax.grad(loss, argnums=(0, 1))(p, x, False)
+    gp = jax.grad(loss, argnums=(0, 1))(p, x, True)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
+
+
+def test_full_birnn_with_pallas_matches():
+    params, x, lengths, mask = _setup()
+
+    from mmda_tpu.ops import pallas as flags
+
+    ys_x, h_x = bilstm.birnn(params, x, lengths, "lstm")
+    flags.set_enabled(True)
+    try:
+        ys_p, h_p = bilstm.birnn(params, x, lengths, "lstm")
+    finally:
+        flags.set_enabled(False)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x), rtol=1e-5, atol=1e-5)

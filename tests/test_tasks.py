@@ -1,0 +1,72 @@
+"""Task-mode tests: MOSI sentiment regression and UR_FUNNY binary humor paths
+through the full Trainer."""
+
+import numpy as np
+import pytest
+
+from mmda_tpu.config import Config
+from mmda_tpu.data.synthetic import make_dataset
+from mmda_tpu.train.loop import Trainer
+
+
+def _data():
+    return make_dataset(num_train=64, num_dev=32, num_test=32, max_len=8,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+
+
+def _cfg(**kw):
+    base = dict(
+        hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
+        embedding_size=8, compute_dtype="float32", use_bert=False,
+        batch_size=16, learning_rate=3e-3, n_epoch=2, bucket_sizes=(8,),
+        log_sinks=(),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_resolved_task():
+    assert Config(data="mosei").resolved_task() == "classification"
+    assert Config(data="mosi").resolved_task() == "regression"
+    assert Config(data="ur_funny").resolved_task() == "binary"
+    assert Config(data="mosei", task="regression").resolved_task() == "regression"
+
+
+def test_regression_trainer(tmp_path):
+    cfg = _cfg(data="mosi", name="reg", ckpt_dir=str(tmp_path))
+    tr = Trainer(cfg, _data(), use_mesh=False)
+    assert tr.cfg.num_classes == 1
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
+    assert "test_mae" in summary and "test_corr" in summary
+    assert summary["test_mae"] > 0
+
+
+def test_binary_trainer(tmp_path):
+    cfg = _cfg(data="ur_funny", name="bin", ckpt_dir=str(tmp_path))
+    tr = Trainer(cfg, _data(), use_mesh=False)
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
+    assert "test_acc2" in summary and "test_f1" in summary
+    assert 0 <= summary["test_acc2"] <= 1
+
+
+def test_confidnet_trainer(tmp_path):
+    # train_confid.sh configuration: conf loss joins the objective
+    cfg = _cfg(data="mosei", name="conf", ckpt_dir=str(tmp_path),
+               use_confidNet=True, fix_conf_loss=True)
+    tr = Trainer(cfg, _data(), use_mesh=False)
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
+    conf_losses = [h["train_conf"] for h in summary["history"]]
+    assert all(np.isfinite(c) for c in conf_losses)
+
+
+def test_missing_modality_eval(tmp_path):
+    # adaptation config: zeroed visual stream at train+eval
+    cfg = _cfg(data="mosei", name="mm", ckpt_dir=str(tmp_path),
+               missing_modality="visual", missing_modality_prob=0.3)
+    tr = Trainer(cfg, _data(), use_mesh=False)
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
