@@ -24,6 +24,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def jnp_stack(x, n):
+    import jax.numpy as jnp
+
+    return jnp.broadcast_to(jnp.asarray(x)[None], (n,) + x.shape)
+
+
 def main():
     import jax
 
@@ -32,7 +38,7 @@ def main():
     from mmda_tpu.models import Batch, get_model
     from mmda_tpu.models.bert import BertConfig, frozen_mask
     from mmda_tpu.train.state import create_train_state, make_optimizer
-    from mmda_tpu.train.step import make_train_step
+    from mmda_tpu.train.step import make_train_epoch, make_train_step
 
     B, T = 64, 48
     cfg = Config(
@@ -54,17 +60,20 @@ def main():
     frozen["bert"] = frozen_mask(params["bert"], max_frozen_layer=8)
     tx = make_optimizer(cfg, frozen)
     state = create_train_state(cfg, params, jax.random.PRNGKey(1), frozen)
-    step = make_train_step(cfg, tx, fwd_fn, bert_cfg)
 
-    # warmup / compile
-    for _ in range(3):
-        state, losses = step(state, batch)
+    # compiled multi-step epoch: lax.scan over stacked batches -> ONE dispatch
+    # for n_steps optimizer steps (device-resident loop; the host/tunnel round
+    # trip is excluded, as in real epochs driven by the prefetching loader)
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    epoch_fn = make_train_epoch(cfg, tx, fwd_fn, bert_cfg)
+    batches = jax.tree_util.tree_map(
+        lambda x: jnp_stack(x, n_steps), batch)
+
+    state, losses = epoch_fn(state, batches)        # warmup/compile
     jax.block_until_ready(losses["total"])
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, losses = step(state, batch)
+    state, losses = epoch_fn(state, batches)
     jax.block_until_ready(losses["total"])
     dt = time.perf_counter() - t0
 

@@ -54,7 +54,18 @@ def main(argv=None):
     eval_step = make_eval_step(cfg, fwd_fn, bert_cfg)
     loader = ArrayLoader(split, batch_size=cfg.batch_size, shuffle=False)
 
-    scores, labels, truths, tcps = [], [], [], []
+    # hidden-representation export (reference save_hidden parity,
+    # src/utils/tools.py:52-60): the 6 fused shared/private vectors
+    import jax as _jax
+
+    @_jax.jit
+    def hidden_step(params, batch):
+        out = fwd_fn(params, cfg, batch, bert_cfg=bert_cfg, deterministic=True)
+        return _jax.numpy.concatenate(
+            [out.private_t, out.private_v, out.private_a,
+             out.shared_t, out.shared_v, out.shared_a], axis=1)
+
+    scores, labels, truths, tcps, hiddens = [], [], [], [], []
     for batch in loader:
         out = eval_step(params, batch)
         w = np.asarray(batch.sample_weight) > 0
@@ -62,10 +73,12 @@ def main(argv=None):
         labels.append(np.asarray(out["labels"])[w])
         tcps.append(np.asarray(out["tcp"])[w])
         truths.append(np.asarray(batch.emo_label)[w])
+        hiddens.append(np.asarray(hidden_step(params, batch))[w])
     scores = np.concatenate(scores)
     labels = np.concatenate(labels)
     truths = np.concatenate(truths)
     tcps = np.concatenate(tcps)
+    hiddens = np.concatenate(hiddens)
 
     metrics = get_metrics(truths, labels)
     metrics["acc"] = get_accuracy(truths, labels)
@@ -73,7 +86,7 @@ def main(argv=None):
 
     out_path = os.path.join(cfg.ckpt_dir, f"predictions_{cfg.name}_{cfg.mode}.npz")
     np.savez_compressed(out_path, scores=scores, labels=labels,
-                        truths=truths, tcp=tcps)
+                        truths=truths, tcp=tcps, hidden=hiddens)
     print(f"predictions written to {out_path}")
     return metrics
 

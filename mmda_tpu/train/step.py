@@ -83,7 +83,46 @@ def make_train_step(
         )
         return new_state, losses
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    if donate:
+        return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step)
+
+
+def make_train_epoch(
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    forward_fn: Callable,
+    bert_cfg: Optional[BertConfig] = None,
+) -> Callable:
+    """Compiled multi-step training: `lax.scan` over a stacked epoch of
+    batches -> ONE dispatch for the whole epoch (no per-step host round trip;
+    the fully device-resident loop the reference's per-batch Python loop can
+    never be).  `batches` is a Batch whose leaves carry a leading step axis.
+    Requires one bucket shape per call site."""
+
+    def loss_fn(params, batch: Batch, rng, modality_keep):
+        out = forward_fn(
+            params, cfg, batch, bert_cfg=bert_cfg,
+            deterministic=False, rng=rng, modality_keep=modality_keep,
+        )
+        losses = compute_losses(cfg, out, batch)
+        return losses["total"], losses
+
+    def body(state: TrainState, batch: Batch):
+        rng, r_drop, r_model = jax.random.split(state.rng, 3)
+        keep = _sample_modality_keep(cfg, r_drop, batch.emo_label.shape[0])
+        grads, losses = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, r_model, keep
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state, rng=rng), losses
+
+    def epoch(state: TrainState, batches: Batch):
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(epoch, donate_argnums=(0,))
 
 
 def make_eval_step(
