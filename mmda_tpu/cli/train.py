@@ -42,18 +42,33 @@ def main(argv=None):
     print(cfg)
 
     data, pretrained_emb = load_data(cfg)
-    logger = MetricLogger(cfg.log_sinks, run_name=cfg.name)
-    trainer = Trainer(cfg, data, pretrained_emb=pretrained_emb, logger=logger)
 
-    if cfg.profile_dir:
-        import jax
+    # multi-run support: the reference parses --runs but never uses it
+    # (src/config.py:110); here each run gets seed+i and its own name
+    summaries = []
+    from mmda_tpu.utils.timing import profile
 
-        jax.profiler.start_trace(cfg.profile_dir)
-    summary = trainer.train()
-    if cfg.profile_dir:
-        import jax
+    n_runs = max(cfg.runs, 1) if cfg.mode == "multirun" else 1
+    for i in range(n_runs):
+        run_cfg = cfg if n_runs == 1 else cfg.replace(
+            seed=cfg.seed + i, name=f"{cfg.name}_r{i}")
+        logger = MetricLogger(run_cfg.log_sinks, run_name=run_cfg.name)
+        trainer = Trainer(run_cfg, data, pretrained_emb=pretrained_emb,
+                          logger=logger)
+        with profile(run_cfg.profile_dir):
+            summaries.append(trainer.train())
+    summary = summaries[-1]
+    if n_runs > 1:
+        import numpy as _np
 
-        jax.profiler.stop_trace()
+        keys = [k for k in summary if k.startswith("test_") and
+                isinstance(summary[k], (int, float))]
+        agg = {f"mean_{k}": float(_np.mean([s[k] for s in summaries]))
+               for k in keys}
+        agg.update({f"std_{k}": float(_np.std([s[k] for s in summaries]))
+                    for k in keys})
+        print(json.dumps(agg, indent=2))
+        summary = {**summary, **agg}
 
     print("=" * 50)
     print(f"Best epoch: {summary['best_epoch']}")
