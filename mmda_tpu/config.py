@@ -71,6 +71,12 @@ class Config:
     mode: str = "train"
     runs: int = 5
     use_confidNet: bool = False
+    confid_two_stage: bool = False    # ConfidNet-paper recipe: after the main
+                                      # loop, freeze the backbone and train the
+                                      # confidence head alone (net-new; the
+                                      # reference's train_confid.sh only adds
+                                      # conf to the joint objective)
+    n_epoch_stage2: int = 10
     device: str = "tpu"           # reference default 'cuda'; here a JAX platform
     eval_mode: str = "macro"
 

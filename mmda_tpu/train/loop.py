@@ -259,6 +259,12 @@ class Trainer:
             test_loss, test_acc, test_preds, test_truths = self.evaluate("test")
         test_metrics = task_metrics(self.task, test_truths, test_preds)
 
+        # stage 2: ConfidNet head-only training on frozen backbone
+        if cfg.use_confidNet and cfg.confid_two_stage and best_epoch >= 0:
+            self._train_confidnet_stage2(train_loader)
+            test_loss, test_acc, test_preds, test_truths = self.evaluate("test")
+            test_metrics = task_metrics(self.task, test_truths, test_preds)
+
         summary = {
             "best_epoch": best_epoch,
             "best_valid_loss": best_valid_loss,
@@ -271,6 +277,37 @@ class Trainer:
             summary["best_dev_metrics"] = eval_values
         self.logger.log({k: v for k, v in summary.items() if k != "history"})
         return summary
+
+    # ------------------------------------------------------------------
+    def _train_confidnet_stage2(self, train_loader) -> None:
+        """ConfidNet stage 2: start from best-on-dev params, freeze everything
+        except the confidence head, optimize the conf loss alone."""
+        cfg = self.cfg
+        best_params = ckpt.load_checkpoint(
+            cfg.ckpt_dir, ckpt.best_model_name(cfg), self.state.params)
+        frozen = jax.tree_util.tree_map(lambda _: True, best_params)
+        frozen["confidence"] = jax.tree_util.tree_map(
+            lambda _: False, best_params["confidence"])
+        tx2 = make_optimizer(cfg, frozen)
+        state = create_train_state(cfg, best_params, self.state.rng, frozen)
+        step2 = make_train_step(cfg, tx2, self.forward_fn, self.bert_cfg,
+                                conf_only=True)
+        for e in range(cfg.n_epoch_stage2):
+            conf_losses = []
+            for batch in train_loader:
+                state, losses = step2(state, batch)
+                conf_losses.append(losses["conf"])
+            self.logger.log({
+                "stage2_epoch": e,
+                "stage2_conf_loss": float(np.mean(
+                    [np.asarray(l) for l in conf_losses])),
+            })
+        self.state = state
+        pending = ckpt.save_checkpoint(
+            cfg.ckpt_dir, ckpt.best_model_name(cfg), state.params,
+            {"stage2_epochs": cfg.n_epoch_stage2}, async_write=True)
+        if pending is not None:
+            pending.join()
 
     # ------------------------------------------------------------------
     def evaluate(self, mode: str, params=None) -> tuple:

