@@ -33,6 +33,11 @@ def jnp_stack(x, n):
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mmda_tpu.config import Config
     from mmda_tpu.data.synthetic import SyntheticSpec, make_split
     from mmda_tpu.models import Batch, get_model
@@ -63,19 +68,26 @@ def main():
 
     # compiled multi-step epoch: lax.scan over stacked batches -> ONE dispatch
     # for n_steps optimizer steps (device-resident loop; the host/tunnel round
-    # trip is excluded, as in real epochs driven by the prefetching loader)
+    # trip is excluded, as in real epochs driven by the prefetching loader).
+    # Timing methodology: median of reps, each terminated by a HOST READBACK
+    # of the final loss value (block_until_ready alone can return early
+    # through the axon relay and fake sub-ms step times).
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     epoch_fn = make_train_epoch(cfg, tx, fwd_fn, bert_cfg)
     batches = jax.tree_util.tree_map(
         lambda x: jnp_stack(x, n_steps), batch)
 
     state, losses = epoch_fn(state, batches)        # warmup/compile
-    jax.block_until_ready(losses["total"])
+    _ = float(losses["total"][-1])
 
-    t0 = time.perf_counter()
-    state, losses = epoch_fn(state, batches)
-    jax.block_until_ready(losses["total"])
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, losses = epoch_fn(state, batches)
+        _ = float(losses["total"][-1])              # forces completion
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     per_step = dt / n_steps
     utt_per_sec = B / per_step
