@@ -139,6 +139,13 @@ class Config:
 
     # Numerics / behavior flags
     compute_dtype: str = "bfloat16"   # activations; params & cell state stay fp32
+    freeze_embeddings: bool = True    # freeze the GloVe table when use_bert=False.
+                                      # NOTE: the reference INTENDS this but its
+                                      # `model.embed.requires_grad = False`
+                                      # (src/solver.py:86) targets the Module,
+                                      # not the Parameter - a no-op, so the
+                                      # reference actually trains its GloVe
+                                      # table.  False replicates that behavior.
     fix_conf_loss: bool = False   # True -> sane per-class BCE-style conf loss
                                   # False -> replicate reference soft-target CE
                                   # over the batch axis (src/solver.py:451-462)

@@ -125,8 +125,11 @@ class Trainer:
                 frozen["bert"] = frozen_mask(params["bert"], max_frozen_layer=8)
             elif cfg.data == "ur_funny":
                 frozen["bert"] = jax.tree_util.tree_map(lambda _: True, params["bert"])
-        if not cfg.use_bert and self.pretrained_emb is not None:
-            # GloVe embedding table is frozen (src/solver.py:83-86)
+        if (not cfg.use_bert and self.pretrained_emb is not None
+                and cfg.freeze_embeddings):
+            # GloVe table frozen as the reference INTENDS (src/solver.py:83-86;
+            # its requires_grad=False is a Module-level no-op - see
+            # Config.freeze_embeddings)
             frozen = frozen or jax.tree_util.tree_map(lambda _: False, params)
             frozen["embed"] = True
 

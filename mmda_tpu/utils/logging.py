@@ -33,6 +33,16 @@ class MetricLogger:
                 self._wandb = wandb
             except Exception as e:  # offline / not installed: degrade gracefully
                 print(f"[logging] wandb unavailable ({e}); dropping sink", file=sys.stderr)
+        self._hypertune = None
+        if "hypertune" in self.sinks:
+            # Google Cloud hypertune report (reference src/solver.py:285-289)
+            try:
+                import hypertune
+
+                self._hypertune = hypertune.HyperTune()
+            except Exception as e:
+                print(f"[logging] hypertune unavailable ({e}); dropping sink",
+                      file=sys.stderr)
 
     def log(self, metrics: Dict[str, float], step: Optional[int] = None) -> None:
         payload = {k: (float(v) if hasattr(v, "__float__") else v)
@@ -49,6 +59,12 @@ class MetricLogger:
             self._jsonl.flush()
         if self._wandb is not None:
             self._wandb.log({k: v for k, v in payload.items() if k != "time"})
+        if self._hypertune is not None and "test_acc2" in payload:
+            # same tag/value as the reference (src/solver.py:285-289)
+            self._hypertune.report_hyperparameter_tuning_metric(
+                hyperparameter_metric_tag="accuracy",
+                metric_value=payload["test_acc2"],
+                global_step=int(payload.get("epoch", 0)))
 
     def close(self) -> None:
         if self._jsonl is not None:
