@@ -61,6 +61,36 @@ DATASETS = ("mosi", "mosei", "ur_funny", "synthetic")
 
 EVAL_MODES = ("macro", "micro", "weighted")
 
+# Per-dataset hyper-parameter presets (reference src/config.py:40-59; the
+# reference defines but never applies them - apply with --apply_dataset_hp).
+MOSI_HP = {
+    "activation": "relu",
+    "batch_size": 64,
+    "sim_weight": 1.0,     # alpha
+    "diff_weight": 0.3,    # beta
+    "recon_weight": 1.0,   # gamma
+    "dropout": 0.5,
+}
+
+MOSEI_HP = {
+    "activation": "leakyrelu",
+    "batch_size": 16,
+    "sim_weight": 0.7,
+    "diff_weight": 0.3,
+    "recon_weight": 0.7,
+    "dropout": 0.1,
+    "embedding_size": 300,
+    "visual_size": 35,
+    "acoustic_size": 74,
+}
+
+DATASET_HP = {"mosi": MOSI_HP, "mosei": MOSEI_HP}
+
+# Reference surface parity (src/config.py:29-38)
+output_dim_dict = {"mosi": 1, "mosei_senti": 1}
+criterion_dict = {"mosi": "L1Loss", "iemocap": "CrossEntropyLoss",
+                  "ur_funny": "CrossEntropyLoss"}
+
 
 @dataclass(frozen=True)
 class Config:
@@ -118,6 +148,7 @@ class Config:
 
     # Model
     model: str = "MISA"
+    apply_dataset_hp: bool = False    # apply MOSI_HP/MOSEI_HP presets
     task: str = "auto"            # auto|classification|regression|binary
                                   # auto: mosei/synthetic -> 6-way multilabel
                                   # classification; mosi -> sentiment regression
@@ -257,4 +288,6 @@ def get_config(parse: bool = True, argv=None, **optional_kwargs) -> Config:
     for k in ("word_emb_path", "sdk_dir", "bert_model_dir", "profile_dir"):
         if kw.get(k) in ("", "None", "none"):
             kw[k] = None
+    if kw.get("apply_dataset_hp") and kw.get("data") in DATASET_HP:
+        kw = {**kw, **DATASET_HP[kw["data"]]}
     return Config(**kw)

@@ -82,7 +82,8 @@ def transformer_layer(
     dropout_rate: float = 0.1,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
-) -> jnp.ndarray:
+    return_attn: bool = False,
+):
     B, S, D = x.shape
     hd = D // num_heads
     if not deterministic:
@@ -110,4 +111,7 @@ def transformer_layer(
     h = linear(p["ffn2"], h)
     if not deterministic:
         h = dropout(r2, h, dropout_rate, deterministic)
-    return layer_norm(p["ln2"], x + h)
+    out = layer_norm(p["ln2"], x + h)
+    if return_attn:
+        return out, probs   # (B, S, D), (B, nh, S, S)
+    return out

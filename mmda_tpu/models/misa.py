@@ -75,6 +75,9 @@ class MISAOutput(NamedTuple):
     sp_p_v: jnp.ndarray
     sp_p_a: jnp.ndarray
     sp_s: jnp.ndarray
+    fusion_attn: Optional[jnp.ndarray] = None  # (B, nh, 6, 6) fusion
+                                 # self-attention scores - implements the
+                                 # reference's TODO at src/models.py:159
 
 
 class Batch(NamedTuple):
@@ -256,9 +259,10 @@ def misa_forward(
     # ---- 6-token transformer fusion (src/models.py:242-245) ---------------
     h = jnp.stack([private_t, private_v, private_a, shared_t, shared_v, shared_a],
                   axis=1)                                    # (B, 6, H)
-    h = transformer_layer(params["fusion"], h, num_heads=2,
-                          dropout_rate=0.1, deterministic=deterministic,
-                          rng=r_fusion)
+    h, fusion_attn = transformer_layer(params["fusion"], h, num_heads=2,
+                                       dropout_rate=0.1,
+                                       deterministic=deterministic,
+                                       rng=r_fusion, return_attn=True)
     h = h.reshape(h.shape[0], 6 * H)                          # concat of the 6
 
     # ---- heads (src/models.py:247-249) -------------------------------------
@@ -282,4 +286,5 @@ def misa_forward(
         recon_t=recon_t, recon_v=recon_v, recon_a=recon_a,
         domain_t=domain_t, domain_v=domain_v, domain_a=domain_a,
         sp_p_t=sp_p_t, sp_p_v=sp_p_v, sp_p_a=sp_p_a, sp_s=sp_s,
+        fusion_attn=fusion_attn,
     )
