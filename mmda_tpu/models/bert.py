@@ -168,9 +168,19 @@ def bert_encode(
 
     scale = 1.0 / np.sqrt(hd)
     for i, lp in enumerate(params["layers"]):
-        q = _apply_dense(lp["q"], x, compute_dtype).reshape(B, S, nh, hd)
-        k = _apply_dense(lp["k"], x, compute_dtype).reshape(B, S, nh, hd)
-        v = _apply_dense(lp["v"], x, compute_dtype).reshape(B, S, nh, hd)
+        # fused QKV: one (B*S, H) x (H, 3H) MXU matmul instead of three.
+        # Params stay separate (HF-load / freezing / TP-spec compatibility);
+        # the concat is a cheap per-layer weight reshape XLA hoists.
+        qkv_kernel = jnp.concatenate(
+            [lp["q"]["kernel"], lp["k"]["kernel"], lp["v"]["kernel"]], axis=1)
+        qkv_bias = jnp.concatenate(
+            [lp["q"]["bias"], lp["k"]["bias"], lp["v"]["bias"]])
+        qkv = _apply_dense({"kernel": qkv_kernel, "bias": qkv_bias}, x,
+                           compute_dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, nh, hd)
+        k = k.reshape(B, S, nh, hd)
+        v = v.reshape(B, S, nh, hd)
         # (B, nh, S, S) logits in fp32 for a stable softmax
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
