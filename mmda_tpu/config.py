@@ -133,6 +133,7 @@ class Config:
 
     learning_rate: float = 1e-4
     optimizer: str = "Adam"
+    grad_accum_steps: int = 1     # microbatching via optax.MultiSteps
     clip: float = 1.0
     weight_decay: float = 0.1     # parsed but unused by the reference; see module doc
     apply_weight_decay: bool = False

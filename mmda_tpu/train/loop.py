@@ -17,6 +17,7 @@ Key differences by design (SURVEY.md §3.3):
 
 from __future__ import annotations
 
+import signal
 import time
 from typing import Any, Dict, Optional
 
@@ -181,6 +182,21 @@ class Trainer:
         num_trials = 1
         history = []
         pending = []  # async checkpoint writer threads
+
+        # preemption handling (SURVEY.md §5 failure-detection row): SIGTERM/
+        # SIGINT set a flag; the loop checkpoints and exits cleanly at the
+        # next epoch boundary instead of dying mid-write.
+        preempted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            preempted["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:   # non-main thread
+                pass
         eval_values: Dict[str, float] = {}
         start_epoch = int(self.state.step) // max(len(train_loader), 1)
 
@@ -248,6 +264,12 @@ class Trainer:
             self.logger.log(payload, step=int(self.state.step))
             history.append(payload)
 
+            if preempted["flag"]:
+                self.logger.log({"preempted_at_epoch": e})
+                break
+
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         for t in pending:
             if t is not None:
                 t.join()

@@ -51,14 +51,18 @@ def _base_optimizer(cfg: Config) -> optax.GradientTransformation:
 def make_optimizer(
     cfg: Config, frozen: Optional[Any] = None
 ) -> optax.GradientTransformation:
-    """frozen: pytree of bools (True == frozen), same structure as params."""
+    """frozen: pytree of bools (True == frozen), same structure as params.
+    grad_accum_steps > 1 wraps in optax.MultiSteps (microbatching: updates
+    apply every k-th step with the mean gradient)."""
     base = _base_optimizer(cfg)
-    if frozen is None:
-        return base
-    labels = jax.tree_util.tree_map(lambda f: "frozen" if f else "train", frozen)
-    return optax.multi_transform(
-        {"train": base, "frozen": optax.set_to_zero()}, labels
-    )
+    if frozen is not None:
+        labels = jax.tree_util.tree_map(lambda f: "frozen" if f else "train", frozen)
+        base = optax.multi_transform(
+            {"train": base, "frozen": optax.set_to_zero()}, labels
+        )
+    if cfg.grad_accum_steps > 1:
+        base = optax.MultiSteps(base, every_k_schedule=cfg.grad_accum_steps)
+    return base
 
 
 def create_train_state(

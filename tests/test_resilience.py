@@ -1,0 +1,103 @@
+"""Resilience features: gradient accumulation equivalence, preemption
+signal handling."""
+
+import os
+import signal
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmda_tpu.config import Config
+from mmda_tpu.data.synthetic import SyntheticSpec, make_split, make_dataset
+from mmda_tpu.models import Batch, get_model
+from mmda_tpu.train.loop import Trainer
+from mmda_tpu.train.state import create_train_state, make_optimizer
+from mmda_tpu.train.step import make_train_step
+
+
+def _cfg(**kw):
+    base = dict(
+        hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
+        embedding_size=8, compute_dtype="float32", use_bert=False,
+        batch_size=8, learning_rate=1e-2, log_sinks=(),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _split(n=32, t=8):
+    return make_split(SyntheticSpec(
+        num_examples=n, max_len=t, visual_size=5, acoustic_size=6,
+        vocab_size=64, bert_vocab_size=64))
+
+
+def test_grad_accum_matches_big_batch():
+    """2 microbatches of 8 with grad_accum_steps=2 == 1 batch of 16 (mean
+    gradient), starting from identical params (deterministic, no dropout)."""
+    data = _split(16)
+    init_fn, fwd_fn = get_model("MISA")
+
+    # Dropout keys differ per-step; force deterministic forward by monkeypatching
+    # deterministic=True through a wrapper.
+    def det_fwd(params, cfg, batch, bert_cfg=None, deterministic=False,
+                rng=None, modality_keep=None):
+        return fwd_fn(params, cfg, batch, bert_cfg=bert_cfg,
+                      deterministic=True, modality_keep=modality_keep)
+
+    # big batch (16)
+    cfg16 = _cfg(batch_size=16)
+    params = init_fn(jax.random.PRNGKey(0), cfg16)
+    tx16 = make_optimizer(cfg16)
+    st16 = create_train_state(cfg16, params, jax.random.PRNGKey(1))
+    step16 = make_train_step(cfg16, tx16, det_fwd, donate=False)
+    big = Batch(**{k: jnp.asarray(v) for k, v in data.items()})
+    st16b, _ = step16(st16, big)
+
+    # two microbatches of 8 with accumulation
+    cfg8 = _cfg(batch_size=8, grad_accum_steps=2)
+    tx8 = make_optimizer(cfg8)
+    st8 = create_train_state(cfg8, params, jax.random.PRNGKey(1))
+    step8 = make_train_step(cfg8, tx8, det_fwd, donate=False)
+    b1 = Batch(**{k: jnp.asarray(v[:8]) for k, v in data.items()})
+    b2 = Batch(**{k: jnp.asarray(v[8:]) for k, v in data.items()})
+    st8, _ = step8(st8, b1)
+    # no update applied yet after the first microbatch
+    np.testing.assert_allclose(
+        np.asarray(st8.params["classifier"]["kernel"]),
+        np.asarray(params["classifier"]["kernel"]))
+    st8, _ = step8(st8, b2)
+
+    # NOTE: losses like CMD/DiffLoss are batch-coupled (moments over the
+    # batch), so mean-of-microbatch-grads != big-batch grad exactly; assert
+    # the update direction is close, not identical.
+    a = np.asarray(st16b.params["classifier"]["kernel"]) - np.asarray(params["classifier"]["kernel"])
+    b = np.asarray(st8.params["classifier"]["kernel"]) - np.asarray(params["classifier"]["kernel"])
+    cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.7, cos
+
+
+def test_preemption_signal_checkpoints_and_stops(tmp_path):
+    cfg = _cfg(name="pre", ckpt_dir=str(tmp_path), n_epoch=50,
+               batch_size=16, bucket_sizes=(8,))
+    data = make_dataset(num_train=32, num_dev=16, num_test=16, max_len=8,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+    tr = Trainer(cfg, data, use_mesh=False)
+
+    # raise SIGTERM from within the logger after the first epoch's payload
+    orig_log = tr.logger.log
+    fired = {"done": False}
+
+    def hooked(metrics, step=None):
+        orig_log(metrics, step)
+        if "train_loss" in metrics and not fired["done"]:
+            fired["done"] = True
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    tr.logger.log = hooked
+    summary = tr.train()   # must exit after ~1 epoch, not 50
+    assert len(summary["history"]) <= 2
+    from mmda_tpu.train import checkpoint as ckpt
+
+    assert ckpt.checkpoint_exists(str(tmp_path), "last_pre")
