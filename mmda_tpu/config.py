@@ -197,6 +197,10 @@ class Config:
     log_every: int = 50
     log_sinks: Tuple[str, ...] = ("stdout",)
     profile_dir: Optional[str] = None
+    compiled_epoch: bool = False  # scan-over-batches training: chunks of
+                                  # scan_chunk steps run as ONE device dispatch
+                                  # (removes per-step host round trips)
+    scan_chunk: int = 8
     use_pallas: bool = False      # fused Pallas LSTM kernel (XLA scan fallback).
                                   # Off by default: TPU microbenchmarks
                                   # (benchmarks/bench_kernels.py) show mixed

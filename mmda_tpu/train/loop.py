@@ -31,10 +31,16 @@ from mmda_tpu.models.bert import BertConfig, frozen_mask, load_hf_weights
 from mmda_tpu.parallel import mesh as pmesh
 from mmda_tpu.train import checkpoint as ckpt
 from mmda_tpu.train.state import TrainState, create_train_state, make_optimizer, trainable_param_count
-from mmda_tpu.train.step import make_eval_step, make_train_step
+from mmda_tpu.train.step import make_eval_step, make_train_epoch, make_train_step
 from mmda_tpu.utils.logging import MetricLogger
 from mmda_tpu.utils.metrics import get_accuracy, get_metrics, select_by_eval_mode
 from mmda_tpu.utils.sentiment_metrics import eval_binary, eval_mosei_senti
+
+
+def jnp_stack_leaves(xs):
+    import jax.numpy as jnp
+
+    return jnp.stack(xs, axis=0)
 
 
 def task_metrics(task: str, truths: np.ndarray, preds: np.ndarray) -> dict:
@@ -151,6 +157,10 @@ class Trainer:
 
         self.train_step = make_train_step(cfg, self.tx, self.forward_fn, self.bert_cfg)
         self.eval_step = make_eval_step(cfg, self.forward_fn, self.bert_cfg)
+        self.epoch_step = (
+            make_train_epoch(cfg, self.tx, self.forward_fn, self.bert_cfg)
+            if cfg.compiled_epoch else None
+        )
 
         counts = trainable_param_count(self.state.params, frozen)
         self.logger.log({"params_total": counts["total"],
@@ -203,14 +213,18 @@ class Trainer:
         for e in range(start_epoch, cfg.n_epoch):
             t0 = time.perf_counter()
             epoch_losses = []
-            for batch in train_loader:
-                self.state, losses = self.train_step(self.state, batch)
-                epoch_losses.append(losses)
+            if self.epoch_step is not None:
+                epoch_losses = self._run_compiled_epoch(train_loader)
+            else:
+                for batch in train_loader:
+                    self.state, losses = self.train_step(self.state, batch)
+                    epoch_losses.append(losses)
             # one host sync per epoch
             jax.block_until_ready(self.state.params)
             epoch_time = time.perf_counter() - t0
             stacked = {
-                k: float(np.mean([np.asarray(l[k]) for l in epoch_losses]))
+                k: float(np.mean(np.concatenate(
+                    [np.asarray(l[k]).ravel() for l in epoch_losses])))
                 for k in epoch_losses[0]
             }
             train_avg_loss = round(stacked["total"], 4)
@@ -302,6 +316,33 @@ class Trainer:
             summary["best_dev_metrics"] = eval_values
         self.logger.log({k: v for k, v in summary.items() if k != "history"})
         return summary
+
+    # ------------------------------------------------------------------
+    def _run_compiled_epoch(self, train_loader):
+        """Scan-over-batches epoch: group same-shape batches, stack them into
+        chunks of cfg.scan_chunk, and run each chunk as ONE device dispatch.
+        Remainder batches run through the per-step path.  jit caches one
+        program per (bucket shape) - chunk size is fixed, so no per-epoch
+        recompiles."""
+        import collections
+
+        cfg = self.cfg
+        chunk = max(cfg.scan_chunk, 1)
+        groups = collections.defaultdict(list)
+        for batch in train_loader:
+            groups[batch.text.shape[1]].append(batch)
+
+        losses_out = []
+        for _, batches in sorted(groups.items()):
+            for i in range(0, len(batches) - chunk + 1, chunk):
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp_stack_leaves(xs), *batches[i : i + chunk])
+                self.state, losses = self.epoch_step(self.state, stacked)
+                losses_out.append(losses)   # each value has leading chunk axis
+            for batch in batches[len(batches) - len(batches) % chunk:]:
+                self.state, losses = self.train_step(self.state, batch)
+                losses_out.append(losses)
+        return losses_out
 
     # ------------------------------------------------------------------
     def _train_confidnet_stage2(self, train_loader) -> None:

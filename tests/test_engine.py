@@ -165,6 +165,21 @@ def test_trainer_smoke(tmp_path):
     assert ckpt.checkpoint_exists(str(tmp_path), "best_model_MISA_mosei")
 
 
+def test_trainer_compiled_epoch_matches_history_shape(tmp_path):
+    cfg = _cfg(ckpt_dir=str(tmp_path), n_epoch=2, compiled_epoch=True,
+               scan_chunk=2)
+    data = make_dataset(num_train=80, num_dev=32, num_test=32, max_len=8,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+    tr = Trainer(cfg, data, use_mesh=False)
+    summary = tr.train()
+    # 80/16 = 5 steps/epoch -> 2 chunks of 2 + 1 remainder
+    assert len(summary["history"]) == 2
+    assert np.isfinite(summary["test_loss"])
+    assert int(tr.state.step) == 10
+    assert summary["history"][-1]["train_loss"] < summary["history"][0]["train_loss"] * 1.5
+
+
 def test_trainer_dp_mesh_smoke(tmp_path):
     cfg = _cfg(ckpt_dir=str(tmp_path), n_epoch=1, batch_size=16)
     data = make_dataset(num_train=64, num_dev=32, num_test=32, max_len=8,
