@@ -83,6 +83,7 @@ def transformer_layer(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     return_attn: bool = False,
+    attn_bias: Optional[jnp.ndarray] = None,   # (B, S) additive key bias
 ):
     B, S, D = x.shape
     hd = D // num_heads
@@ -95,6 +96,8 @@ def transformer_layer(
     v = v.reshape(B, S, num_heads, hd)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / np.sqrt(hd)
+    if attn_bias is not None:
+        logits = logits + attn_bias[:, None, None, :]
     probs = jax.nn.softmax(logits, axis=-1)
     if not deterministic:
         probs = dropout(r_attn, probs, dropout_rate, deterministic)

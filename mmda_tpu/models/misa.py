@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from mmda_tpu.config import Config
 from mmda_tpu.models import bert as jbert
 from mmda_tpu.models import bilstm
+from mmda_tpu.models.extractors import tower_extract
 from mmda_tpu.models.common import (
     dropout,
     layer_norm,
@@ -119,6 +120,8 @@ def init_misa_params(
     ks = jax.random.split(key, 24)
     params: Dict[str, Any] = {}
 
+    from mmda_tpu.models.extractors import make_tower_params
+
     if cfg.use_bert:
         bert_cfg = bert_cfg or jbert.BertConfig.base()
         params["bert"] = bert_params if bert_params is not None else jbert.init_bert_params(ks[0], bert_cfg)
@@ -130,12 +133,11 @@ def init_misa_params(
             else jax.random.normal(ks[0], (vocab, cfg.embedding_size), jnp.float32)
         )
         params["embed"] = emb
-        params["text_extractor"] = bilstm.extractor_params(
-            ks[1], cfg.embedding_size, cfg.embedding_size, cell)
+        params["text_extractor"] = make_tower_params(ks[1], cfg, cfg.embedding_size)
         text_feat = 4 * cfg.embedding_size
 
-    params["visual_extractor"] = bilstm.extractor_params(ks[2], dv, dv, cell)
-    params["acoustic_extractor"] = bilstm.extractor_params(ks[3], da, da, cell)
+    params["visual_extractor"] = make_tower_params(ks[2], cfg, dv)
+    params["acoustic_extractor"] = make_tower_params(ks[3], cfg, da)
 
     def proj(k, d_in):
         kl, _ = jax.random.split(k)
@@ -206,14 +208,11 @@ def misa_forward(
         emb = params["embed"][batch.text].astype(compute_dtype)
         if modality_keep is not None:
             emb = emb * modality_keep.astype(compute_dtype)[:, 0][:, None, None]
-        utt_text = bilstm.extract_features(
-            params["text_extractor"], emb, batch.lengths, cell)
+        utt_text = tower_extract(params["text_extractor"], cfg, emb, batch.lengths)
 
     # ---- visual / acoustic towers ----------------------------------------
-    utt_video = bilstm.extract_features(
-        params["visual_extractor"], visual, batch.lengths, cell)
-    utt_audio = bilstm.extract_features(
-        params["acoustic_extractor"], acoustic, batch.lengths, cell)
+    utt_video = tower_extract(params["visual_extractor"], cfg, visual, batch.lengths)
+    utt_audio = tower_extract(params["acoustic_extractor"], cfg, acoustic, batch.lengths)
 
     # ---- shared/private (src/models.py:265-279) ---------------------------
     def project(p, x):

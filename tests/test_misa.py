@@ -99,6 +99,32 @@ def test_missing_modality_zeroes_streams():
         np.asarray(out_drop.scores), np.asarray(out_manual.scores), rtol=1e-5, atol=1e-6)
 
 
+def test_misa_transformer_extractor():
+    """extractor='transformer' (reference exit-with-TODO at src/models.py:33-36,
+    implemented here): same output shapes as the LSTM towers, trains."""
+    cfg = _tiny_cfg(use_bert=False, extractor="transformer")
+    init_fn, fwd_fn = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    assert "layers" in params["visual_extractor"]   # transformer tree, not rnn
+    batch = _batch(cfg)
+    out = fwd_fn(params, cfg, batch)
+    assert out.scores.shape == (4, 6)
+    assert np.isfinite(np.asarray(out.scores)).all()
+
+    g = jax.grad(lambda p: float(0) + jnp.sum(fwd_fn(p, cfg, batch).scores))(params)
+    leaves = jax.tree_util.tree_leaves(g["visual_extractor"])
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+    # padding invariance: garbage beyond each row's length must not change output
+    bad = batch._replace(
+        visual=batch.visual + 100.0 * (1 - np.asarray(
+            (np.arange(batch.visual.shape[1])[None, :, None]
+             < np.asarray(batch.lengths)[:, None, None]))))
+    out2 = fwd_fn(params, cfg, bad)
+    np.testing.assert_allclose(np.asarray(out2.orig_v), np.asarray(out.orig_v),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_misa_gradients_flow_everywhere():
     cfg = _tiny_cfg(use_bert=False)
     init_fn, fwd_fn = get_model("MISA")
