@@ -150,6 +150,11 @@ class Config:
     # Model
     model: str = "MISA"
     apply_dataset_hp: bool = False    # apply MOSI_HP/MOSEI_HP presets
+    use_label_decoder: bool = False   # TAILOR-style label-attention decoder
+                                      # head (the reference's TODO at
+                                      # src/models.py:144-147): learned label
+                                      # embeddings attend over the 6 fused
+                                      # shared/private tokens
     task: str = "auto"            # auto|classification|regression|binary
                                   # auto: mosei/synthetic -> 6-way multilabel
                                   # classification; mosi -> sentiment regression

@@ -166,6 +166,17 @@ def init_misa_params(
     params["confidence"] = linear_params(ks[17], H * 6, C)
     params["classifier"] = linear_params(ks[18], H * 6, C)
     params["fusion"] = transformer_layer_params(ks[19], H)
+
+    if cfg.use_label_decoder:
+        # label-attention decoder (reference TODO src/models.py:144-147):
+        # label embeddings (C, H) query the 6 fused tokens; per-label context
+        # is scored by a per-label output vector.
+        k_le, k_lw = jax.random.split(ks[20])
+        params["label_decoder"] = {
+            "embed": jax.random.normal(k_le, (C, H), jnp.float32) * 0.02,
+            "out_w": jax.random.normal(k_lw, (C, H), jnp.float32) * 0.02,
+            "out_b": jnp.zeros((C,), jnp.float32),
+        }
     return params
 
 
@@ -262,11 +273,23 @@ def misa_forward(
                                        dropout_rate=0.1,
                                        deterministic=deterministic,
                                        rng=r_fusion, return_attn=True)
+    h_tokens = h                                              # (B, 6, H)
     h = h.reshape(h.shape[0], 6 * H)                          # concat of the 6
 
     # ---- heads (src/models.py:247-249) -------------------------------------
     tcp = jax.nn.sigmoid(linear(params["confidence"], h))
-    logits = linear(params["classifier"], h)
+    if cfg.use_label_decoder:
+        # per-label attention over the 6 fused tokens (h_tokens kept pre-flatten)
+        ld = params["label_decoder"]
+        q = ld["embed"].astype(jnp.float32)               # (C, H)
+        att = jnp.einsum("ch,bsh->bcs", q, h_tokens.astype(jnp.float32),
+                         preferred_element_type=jnp.float32) / jnp.sqrt(float(H))
+        att = jax.nn.softmax(att, axis=-1)
+        ctx = jnp.einsum("bcs,bsh->bch", att, h_tokens.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        logits = jnp.sum(ctx * ld["out_w"], axis=-1) + ld["out_b"]
+    else:
+        logits = linear(params["classifier"], h)
     logits = dropout(r_cls, logits, cfg.dropout, deterministic)
     if cfg.resolved_task() == "regression":
         # sentiment regression head: raw linear output, no binarization

@@ -125,6 +125,21 @@ def test_misa_transformer_extractor():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_misa_label_decoder():
+    """Optional TAILOR-style label decoder (reference TODO src/models.py:144-147)."""
+    cfg = _tiny_cfg(use_bert=False, use_label_decoder=True)
+    init_fn, fwd_fn = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    assert params["label_decoder"]["embed"].shape == (6, 16)
+    batch = _batch(cfg)
+    out = fwd_fn(params, cfg, batch)
+    assert out.scores.shape == (4, 6)
+    s = np.asarray(out.scores)
+    assert ((s >= 0) & (s <= 1)).all() and np.isfinite(s).all()
+    g = jax.grad(lambda p: jnp.sum(fwd_fn(p, cfg, batch).scores))(params)
+    assert float(jnp.abs(g["label_decoder"]["embed"]).sum()) > 0
+
+
 def test_misa_gradients_flow_everywhere():
     cfg = _tiny_cfg(use_bert=False)
     init_fn, fwd_fn = get_model("MISA")
