@@ -16,7 +16,8 @@ import argparse
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="mmda_tpu offline ETL")
-    ap.add_argument("--data", required=True, choices=["mosi", "mosei", "ur_funny"])
+    ap.add_argument("--data", required=True,
+                    choices=["mosi", "mosei", "mosei_unaligned", "ur_funny"])
     ap.add_argument("--data_dir", default="./datasets")
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--sdk_dir", default=None)

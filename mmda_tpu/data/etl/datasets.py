@@ -131,6 +131,64 @@ def collect_mosei(data_path: str, sdk_dir: Optional[str], vocab: Vocab):
     )
 
 
+def collect_mosei_unaligned(data_path: str, sdk_dir: Optional[str],
+                            vocab: Vocab) -> Dict[str, List[Segment]]:
+    """Unaligned MOSEI: align to LABELS only (no word-level collapse), so each
+    modality keeps its native sampling rate within a labeled segment.
+    Implements the reference's empty UnAlignedMoseiDataset stub
+    (src/data_loader.py:133-135)."""
+    md = _require_mmsdk(sdk_dir)
+    dataset_cfg = md.cmu_mosei
+    text_field = "CMU_MOSEI_TimestampedWords"
+    visual_field = "CMU_MOSEI_VisualFacet42"
+    acoustic_field = "CMU_MOSEI_COVAREP"
+    label_field = "CMU_MOSEI_LabelsSentiment"
+
+    for attr in ("highlevel", "raw", "labels"):
+        try:
+            md.mmdataset(getattr(dataset_cfg, attr), data_path)
+        except RuntimeError:
+            pass
+    recipe = {f: os.path.join(data_path, f) + ".csd"
+              for f in (text_field, visual_field, acoustic_field)}
+    dataset = md.mmdataset(recipe)
+    label_recipe = {label_field: os.path.join(data_path, label_field + ".csd")}
+    dataset.add_computational_sequences(label_recipe, destination=None)
+    dataset.align(label_field)          # label alignment ONLY - no collapse
+
+    folds = dataset_cfg.standard_folds
+    split_of = {}
+    for vid in folds.standard_train_fold:
+        split_of[vid] = "train"
+    for vid in folds.standard_valid_fold:
+        split_of[vid] = "dev"
+    for vid in folds.standard_test_fold:
+        split_of[vid] = "test"
+
+    out: Dict[str, List[Segment]] = {"train": [], "dev": [], "test": []}
+    num_drop = 0
+    for segment in dataset[label_field].keys():
+        try:
+            vid = _SEGMENT_VID.search(segment).group(1)
+            label = dataset[label_field][segment]["features"]
+            words = dataset[text_field][segment]["features"]
+            visual = dataset[visual_field][segment]["features"]
+            acoustic = dataset[acoustic_field][segment]["features"]
+        except Exception:
+            continue
+        seg = process_segment(
+            vocab, [w[0] for w in words], visual, acoustic, label, segment,
+            aligned=False)
+        if seg is None:
+            num_drop += 1
+            continue
+        split = split_of.get(vid)
+        if split is not None:
+            out[split].append(seg)
+    print(f"Total number of {num_drop} datapoints have been dropped.")
+    return out
+
+
 def collect_ur_funny(data_path: str, vocab: Vocab) -> Dict[str, List[Segment]]:
     """UR_FUNNY humor detection from the pre-pickled SDK features
     (src/create_dataset.py:447-520)."""
@@ -184,10 +242,16 @@ def build_dataset(
     out_dir = out_dir or data_path
     vocab = Vocab()
 
+    aligned = True
     if name == "mosi":
         splits_seg = collect_mosi(data_path, sdk_dir, vocab)
     elif name == "mosei":
         splits_seg = collect_mosei(data_path, sdk_dir, vocab)
+    elif name == "mosei_unaligned":
+        data_path = os.path.join(data_dir, "MOSEI")
+        out_dir = out_dir or os.path.join(data_dir, "MOSEI_UNALIGNED")
+        splits_seg = collect_mosei_unaligned(data_path, sdk_dir, vocab)
+        aligned = False
     elif name == "ur_funny":
         splits_seg = collect_ur_funny(data_path, vocab)
         num_classes = 1
@@ -205,7 +269,10 @@ def build_dataset(
     os.makedirs(out_dir, exist_ok=True)
     splits = {}
     for split, segs in splits_seg.items():
-        arrays = pack_split(segs, max_len, tokenizer, num_classes)
+        arrays = pack_split(segs, max_len, tokenizer, num_classes,
+                            aligned=aligned,
+                            max_len_visual=4 * max_len,
+                            max_len_acoustic=8 * max_len)
         np.savez_compressed(os.path.join(out_dir, f"{split}.npz"), **arrays)
         splits[split] = arrays
 

@@ -51,8 +51,36 @@ def process_segment(
     acoustic: np.ndarray,
     label: np.ndarray,
     segment_id: str,
+    aligned: bool = True,
 ) -> Optional[Segment]:
-    """One reference segment -> Segment, or None if dropped."""
+    """One reference segment -> Segment, or None if dropped.
+
+    aligned=False (unaligned MOSEI): modalities keep their OWN sequence
+    lengths; sp-pause stripping applies to the text stream only (there is no
+    row correspondence to strip against)."""
+    if not aligned:
+        label = np.nan_to_num(np.asarray(label, np.float64)).astype(np.float32)
+        actual_words, word_ids = [], []
+        for w in raw_words:
+            if isinstance(w, bytes):
+                if w == b"sp":
+                    continue
+                w = w.decode("utf-8")
+            elif w == "sp":
+                continue
+            actual_words.append(w)
+            word_ids.append(vocab[w])
+        if not word_ids or not len(visual) or not len(acoustic):
+            return None
+        return Segment(
+            words=np.asarray(word_ids, np.int32),
+            visual=znorm(np.nan_to_num(np.asarray(visual, np.float64))),
+            acoustic=znorm(np.nan_to_num(np.asarray(acoustic, np.float64))),
+            actual_words=actual_words,
+            label=label,
+            segment_id=segment_id,
+        )
+
     if not (len(raw_words) == len(visual) == len(acoustic)):
         return None
     label = np.nan_to_num(np.asarray(label, np.float64)).astype(np.float32)
@@ -108,11 +136,18 @@ def pack_split(
     tokenizer,
     num_classes: int = 6,
     use_native: bool = True,
+    aligned: bool = True,
+    max_len_visual: Optional[int] = None,
+    max_len_acoustic: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
-    """Segments -> the framework's fixed-shape split format (Batch fields)."""
+    """Segments -> the framework's fixed-shape split format (Batch fields).
+    aligned=False packs visual/acoustic with their OWN time axes and emits
+    visual_lengths/acoustic_lengths."""
     n = len(segments)
     dv = segments[0].visual.shape[1]
     da = segments[0].acoustic.shape[1]
+    mlv = (max_len_visual or max_len) if not aligned else max_len
+    mla = (max_len_acoustic or max_len) if not aligned else max_len
 
     lib = None
     if use_native:
@@ -120,26 +155,32 @@ def pack_split(
 
         lib = native_bridge.load()
 
+    def pack_f(feats, ml):
+        if lib is not None:
+            from mmda_tpu.data.etl import native_bridge
+
+            return native_bridge.pack_floats(lib, feats, ml, znorm=False)
+        out = np.zeros((n, ml, feats[0].shape[1]), np.float32)
+        for i, f in enumerate(feats):
+            L = min(len(f), ml)
+            out[i, :L] = f[:L]
+        return out
+
     if lib is not None:
         from mmda_tpu.data.etl import native_bridge
 
         text, lengths = native_bridge.pack_tokens(
             lib, [s.words for s in segments], max_len, PAD)
-        visual = native_bridge.pack_floats(
-            lib, [s.visual for s in segments], max_len, znorm=False)
-        acoustic = native_bridge.pack_floats(
-            lib, [s.acoustic for s in segments], max_len, znorm=False)
     else:
         text = np.full((n, max_len), PAD, np.int32)
         lengths = np.zeros(n, np.int32)
-        visual = np.zeros((n, max_len, dv), np.float32)
-        acoustic = np.zeros((n, max_len, da), np.float32)
         for i, s in enumerate(segments):
             L = min(len(s.words), max_len)
             text[i, :L] = s.words[:L]
             lengths[i] = L
-            visual[i, :L] = s.visual[:L]
-            acoustic[i, :L] = s.acoustic[:L]
+
+    visual = pack_f([s.visual for s in segments], mlv)
+    acoustic = pack_f([s.acoustic for s in segments], mla)
 
     texts = [" ".join(s.actual_words) for s in segments]
     bert_ids, bert_type, bert_mask = tokenizer.encode_batch(texts, max_len + 2)
@@ -149,7 +190,7 @@ def pack_split(
     for i, s in enumerate(segments):
         sentiment[i], emo[i] = split_label(s.label, num_classes)
 
-    return {
+    out = {
         "text": text,
         "visual": visual,
         "acoustic": acoustic,
@@ -161,3 +202,9 @@ def pack_split(
         "emo_label": emo,
         "sample_weight": np.ones(n, np.float32),
     }
+    if not aligned:
+        out["visual_lengths"] = np.asarray(
+            [min(len(s.visual), mlv) for s in segments], np.int32)
+        out["acoustic_lengths"] = np.asarray(
+            [min(len(s.acoustic), mla) for s in segments], np.int32)
+    return out

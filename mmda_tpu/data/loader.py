@@ -27,15 +27,22 @@ import numpy as np
 from mmda_tpu.models.misa import Batch
 from mmda_tpu.parallel import mesh as pmesh
 
+REQUIRED_KEYS = tuple(f for f in Batch._fields
+                      if f not in ("sample_weight", "visual_lengths",
+                                   "acoustic_lengths"))
+OPTIONAL_KEYS = ("visual_lengths", "acoustic_lengths")
 ARRAY_KEYS = tuple(Batch._fields)
 
 
 def _trim(arrays: Dict[str, np.ndarray], idx: np.ndarray, t: int) -> Dict[str, np.ndarray]:
-    """Select rows `idx` and trim time axes to bucket length `t`."""
+    """Select rows `idx` and trim time axes to bucket length `t`.  For
+    UNALIGNED data (per-modality lengths present) visual/acoustic keep their
+    own full time axes - buckets apply to the text stream only."""
+    unaligned = "visual_lengths" in arrays
     out = {}
     for k, v in arrays.items():
         v = v[idx]
-        if k in ("text", "visual", "acoustic"):
+        if k == "text" or (k in ("visual", "acoustic") and not unaligned):
             v = v[:, :t]
         elif k in ("bert_ids", "bert_type", "bert_mask"):
             v = v[:, : t + 2]
@@ -51,7 +58,7 @@ def _pad_rows(arrays: Dict[str, np.ndarray], n: int) -> Dict[str, np.ndarray]:
     pad = n - k0
     for k, v in arrays.items():
         p = np.zeros((pad,) + v.shape[1:], v.dtype)
-        if k == "lengths":
+        if k in ("lengths", "visual_lengths", "acoustic_lengths"):
             p[:] = 1
         if k == "bert_mask":
             p[:, :1] = 1  # masked-mean denominator must stay nonzero
@@ -76,7 +83,7 @@ class ArrayLoader:
         mesh=None,
         prefetch: int = 2,
     ):
-        missing = set(ARRAY_KEYS) - set(data) - {"sample_weight"}
+        missing = set(REQUIRED_KEYS) - set(data)
         if missing:
             raise ValueError(f"split missing arrays: {sorted(missing)}")
         self.data = dict(data)
@@ -135,7 +142,7 @@ class ArrayLoader:
 
     def __iter__(self) -> Iterator[Batch]:
         def to_device(arrays):
-            b = Batch(**{k: arrays[k] for k in ARRAY_KEYS})
+            b = Batch(**{k: arrays.get(k) for k in ARRAY_KEYS})
             if self.mesh is not None:
                 return pmesh.shard_batch(b, self.mesh)
             return jax.tree_util.tree_map(jax.device_put, b)

@@ -28,6 +28,9 @@ class SyntheticSpec:
     bert_vocab_size: int = 30522
     num_classes: int = 6
     seed: int = 0
+    aligned: bool = True      # False: per-modality lengths (unaligned MOSEI
+                              # shape - the reference's empty stub at
+                              # src/data_loader.py:133-135)
 
 
 def make_split(spec: SyntheticSpec) -> Dict[str, np.ndarray]:
@@ -72,7 +75,7 @@ def make_split(spec: SyntheticSpec) -> Dict[str, np.ndarray]:
         bert_mask[i, : L + 2] = 1
     bert_type = np.zeros((n, s), np.int32)
 
-    return {
+    out = {
         "text": text,
         "visual": visual,
         "acoustic": acoustic,
@@ -84,6 +87,23 @@ def make_split(spec: SyntheticSpec) -> Dict[str, np.ndarray]:
         "emo_label": emo,
         "sample_weight": np.ones(n, np.float32),
     }
+
+    if not spec.aligned:
+        # unaligned: visual/acoustic streams get their own (longer) time axes
+        tv, ta = 2 * t, 3 * t
+        v_len = rng.integers(4, tv + 1, size=n).astype(np.int32)
+        a_len = rng.integers(4, ta + 1, size=n).astype(np.int32)
+        vis = rng.normal(size=(n, tv, spec.visual_size)).astype(np.float32)
+        aco = rng.normal(size=(n, ta, spec.acoustic_size)).astype(np.float32)
+        vis += 0.5 * (emo @ class_dirs_v)[:, None, :]
+        aco += 0.5 * (emo @ class_dirs_a)[:, None, :]
+        vis[~(np.arange(tv)[None, :] < v_len[:, None])] = 0.0
+        aco[~(np.arange(ta)[None, :] < a_len[:, None])] = 0.0
+        out["visual"] = vis
+        out["acoustic"] = aco
+        out["visual_lengths"] = v_len
+        out["acoustic_lengths"] = a_len
+    return out
 
 
 def make_dataset(

@@ -83,18 +83,25 @@ class MISAOutput(NamedTuple):
 
 class Batch(NamedTuple):
     """Fixed-shape device batch (the collate output, reference
-    src/data_loader.py:122, re-cut for XLA static shapes)."""
+    src/data_loader.py:122, re-cut for XLA static shapes).
+
+    visual_lengths/acoustic_lengths support UNALIGNED data (per-modality
+    sequence lengths - the reference's empty UnAlignedMoseiDataset stub,
+    src/data_loader.py:133-135); for word-aligned data they equal `lengths`.
+    """
 
     text: jnp.ndarray            # (B, T) int32 GloVe vocab ids
-    visual: jnp.ndarray          # (B, T, Dv) float
-    acoustic: jnp.ndarray        # (B, T, Da) float
-    lengths: jnp.ndarray         # (B,) int32
+    visual: jnp.ndarray          # (B, Tv, Dv) float
+    acoustic: jnp.ndarray        # (B, Ta, Da) float
+    lengths: jnp.ndarray         # (B,) int32 text lengths
     bert_ids: jnp.ndarray        # (B, S) int32
     bert_type: jnp.ndarray       # (B, S) int32
     bert_mask: jnp.ndarray       # (B, S) int32
     sentiment: jnp.ndarray       # (B,) float
     emo_label: jnp.ndarray       # (B, C) float {0,1}
     sample_weight: jnp.ndarray   # (B,) 1.0 real / 0.0 padding row
+    visual_lengths: Optional[jnp.ndarray] = None   # (B,) int32; None -> lengths
+    acoustic_lengths: Optional[jnp.ndarray] = None
 
 
 def init_misa_params(
@@ -222,8 +229,10 @@ def misa_forward(
         utt_text = tower_extract(params["text_extractor"], cfg, emb, batch.lengths)
 
     # ---- visual / acoustic towers ----------------------------------------
-    utt_video = tower_extract(params["visual_extractor"], cfg, visual, batch.lengths)
-    utt_audio = tower_extract(params["acoustic_extractor"], cfg, acoustic, batch.lengths)
+    v_len = batch.visual_lengths if batch.visual_lengths is not None else batch.lengths
+    a_len = batch.acoustic_lengths if batch.acoustic_lengths is not None else batch.lengths
+    utt_video = tower_extract(params["visual_extractor"], cfg, visual, v_len)
+    utt_audio = tower_extract(params["acoustic_extractor"], cfg, acoustic, a_len)
 
     # ---- shared/private (src/models.py:265-279) ---------------------------
     def project(p, x):
