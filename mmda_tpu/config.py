@@ -176,6 +176,13 @@ class Config:
 
     # Numerics / behavior flags
     compute_dtype: str = "bfloat16"   # activations; params & cell state stay fp32
+    freeze_bert_embeddings: bool = False  # ALSO freeze BERT's embedding tables.
+                                      # The reference freezes encoder layers
+                                      # <= 8 but leaves embeddings trainable
+                                      # (src/solver.py:69-73), which forces the
+                                      # backward pass through ALL 12 layers.
+                                      # True lets XLA prune backward through
+                                      # the frozen stack (faster steps).
     freeze_embeddings: bool = True    # freeze the GloVe table when use_bert=False.
                                       # NOTE: the reference INTENDS this but its
                                       # `model.embed.requires_grad = False`

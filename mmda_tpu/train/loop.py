@@ -130,6 +130,9 @@ class Trainer:
             frozen = jax.tree_util.tree_map(lambda _: False, params)
             if cfg.data == "mosei":
                 frozen["bert"] = frozen_mask(params["bert"], max_frozen_layer=8)
+                if cfg.freeze_bert_embeddings:
+                    frozen["bert"]["embeddings"] = jax.tree_util.tree_map(
+                        lambda _: True, params["bert"]["embeddings"])
             elif cfg.data == "ur_funny":
                 frozen["bert"] = jax.tree_util.tree_map(lambda _: True, params["bert"])
         if (not cfg.use_bert and self.pretrained_emb is not None

@@ -33,17 +33,23 @@ def compute_losses(cfg: Config, out: MISAOutput, batch: Batch) -> Dict[str, jnp.
         cls_loss = jnp.mean(jnp.abs(out.scores[:, 0] - batch.sentiment))
     else:
         cls_loss = L.bce_sum_over_classes(out.scores, emo)
-    diff = L.diff_loss_total(
-        out.private_t, out.private_v, out.private_a,
-        out.shared_t, out.shared_v, out.shared_a,
-    )
-    recon = L.recon_loss_total(
-        out.recon_t, out.orig_t, out.recon_v, out.orig_v, out.recon_a, out.orig_a
-    )
-    if cfg.use_cmd_sim:
-        sim = L.cmd_loss_total(out.shared_t, out.shared_v, out.shared_a)
+    if out.shared_t is None:
+        # model without shared/private factorization (e.g. EF_LSTM):
+        # only the classification objective applies
+        diff = sim = recon = jnp.zeros(())
     else:
-        sim = L.domain_loss(out.domain_t, out.domain_v, out.domain_a)
+        diff = L.diff_loss_total(
+            out.private_t, out.private_v, out.private_a,
+            out.shared_t, out.shared_v, out.shared_a,
+        )
+        recon = L.recon_loss_total(
+            out.recon_t, out.orig_t, out.recon_v, out.orig_v,
+            out.recon_a, out.orig_a
+        )
+        if cfg.use_cmd_sim:
+            sim = L.cmd_loss_total(out.shared_t, out.shared_v, out.shared_a)
+        else:
+            sim = L.domain_loss(out.domain_t, out.domain_v, out.domain_a)
 
     if task == "regression":
         conf = jnp.zeros(())   # ConfidNet targets are class confidences

@@ -78,6 +78,20 @@ def test_confidnet_two_stage(tmp_path):
     assert np.isfinite(np.asarray(final["confidence"]["kernel"])).all()
 
 
+def test_ef_lstm_model_family(tmp_path):
+    """Second registry entry: early-fusion LSTM baseline trains end-to-end."""
+    cfg = _cfg(data="mosei", name="ef", ckpt_dir=str(tmp_path),
+               model="EF_LSTM", n_epoch=2)
+    tr = Trainer(cfg, _data(), use_mesh=False)
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
+    hist = summary["history"]
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    # factorization losses are identically zero for this family
+    assert hist[0]["train_diff"] == 0.0
+    assert hist[0]["train_sim"] == 0.0
+
+
 def test_missing_modality_eval(tmp_path):
     # adaptation config: zeroed visual stream at train+eval
     cfg = _cfg(data="mosei", name="mm", ckpt_dir=str(tmp_path),
