@@ -134,6 +134,15 @@ class Config:
     learning_rate: float = 1e-4
     optimizer: str = "Adam"
     grad_accum_steps: int = 1     # microbatching via optax.MultiSteps
+    lr_schedule: str = "none"     # none|exponential|plateau.  The reference
+                                  # CREATES ReduceLROnPlateau + ExponentialLR
+                                  # but never steps either (src/solver.py:100,
+                                  # 122); 'none' replicates that effective
+                                  # behavior, the others make them real.
+    lr_decay_rate: float = 0.5    # per-epoch decay factor (exponential) /
+                                  # plateau factor (reference factor=0.5)
+    lr_plateau_patience: int = 5  # epochs (reference patience=5)
+    min_lr: float = 1e-6          # reference min_lr=1e-6
     clip: float = 1.0
     weight_decay: float = 0.1     # parsed but unused by the reference; see module doc
     apply_weight_decay: bool = False
@@ -250,6 +259,8 @@ class Config:
             raise ValueError(f"bad missing_modality {self.missing_modality!r}")
         if self.task not in ("auto", "classification", "regression", "binary"):
             raise ValueError(f"bad task {self.task!r}")
+        if self.lr_schedule not in ("none", "exponential", "plateau"):
+            raise ValueError(f"bad lr_schedule {self.lr_schedule!r}")
 
     def __str__(self) -> str:
         # Pretty-print like the reference Config.__str__ (src/config.py:92-96)

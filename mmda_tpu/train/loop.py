@@ -30,7 +30,14 @@ from mmda_tpu.models import get_model
 from mmda_tpu.models.bert import BertConfig, frozen_mask, load_hf_weights
 from mmda_tpu.parallel import mesh as pmesh
 from mmda_tpu.train import checkpoint as ckpt
-from mmda_tpu.train.state import TrainState, create_train_state, make_optimizer, trainable_param_count
+from mmda_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+    trainable_param_count,
+)
 from mmda_tpu.train.step import make_eval_step, make_train_epoch, make_train_step
 from mmda_tpu.utils.logging import MetricLogger
 from mmda_tpu.utils.metrics import get_accuracy, get_metrics, select_by_eval_mode
@@ -144,8 +151,11 @@ class Trainer:
             frozen["embed"] = True
 
         self.frozen = frozen
-        self.tx = make_optimizer(cfg, frozen)
-        self.state = create_train_state(cfg, params, k_state, frozen)
+        steps_per_epoch = None
+        if cfg.lr_schedule == "exponential":
+            steps_per_epoch = max(len(self._loader("train", shuffle=False)), 1)
+        self.tx = make_optimizer(cfg, frozen, steps_per_epoch)
+        self.state = create_train_state(cfg, params, k_state, frozen, tx=self.tx)
 
         if self.mesh is not None:
             self.state = TrainState(
@@ -193,6 +203,7 @@ class Trainer:
         best_epoch = -1
         curr_patience = cfg.patience
         num_trials = 1
+        plateau_wait = 0
         history = []
         pending = []  # async checkpoint writer threads
 
@@ -238,6 +249,23 @@ class Trainer:
             pending.append(ckpt.save_checkpoint(
                 cfg.ckpt_dir, f"last_{cfg.name}", self.state,
                 {"epoch": e, "valid_loss": valid_loss}, async_write=True))
+
+            # ReduceLROnPlateau semantics (reference creates-but-never-steps,
+            # src/solver.py:100: factor 0.5, patience 5, min_lr 1e-6)
+            if cfg.lr_schedule == "plateau":
+                if valid_loss <= best_valid_loss:
+                    plateau_wait = 0
+                else:
+                    plateau_wait += 1
+                    if plateau_wait > cfg.lr_plateau_patience:
+                        cur = get_learning_rate(self.state.opt_state)
+                        if cur is not None:
+                            new_lr = max(cur * cfg.lr_decay_rate, cfg.min_lr)
+                            self.state = self.state._replace(
+                                opt_state=set_learning_rate(
+                                    self.state.opt_state, new_lr))
+                            self.logger.log({"lr_reduced_to": new_lr, "epoch": e})
+                        plateau_wait = 0
 
             improved = valid_loss <= best_valid_loss
             if improved:

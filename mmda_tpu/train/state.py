@@ -30,31 +30,93 @@ class TrainState(NamedTuple):
     rng: jax.Array
 
 
-def _base_optimizer(cfg: Config) -> optax.GradientTransformation:
-    if cfg.optimizer == "Adam":
-        opt = optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-    elif cfg.optimizer == "AdamW":
-        opt = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
-    elif cfg.optimizer == "RMSprop":
+def _base_optimizer(cfg: Config, steps_per_epoch: Optional[int] = None
+                    ) -> optax.GradientTransformation:
+    lr = cfg.learning_rate
+    if cfg.lr_schedule == "exponential" and steps_per_epoch:
+        # per-epoch staircase decay (the ExponentialLR the reference creates
+        # but never steps, src/solver.py:122)
+        lr = optax.exponential_decay(
+            cfg.learning_rate, transition_steps=steps_per_epoch,
+            decay_rate=cfg.lr_decay_rate, staircase=True, end_value=cfg.min_lr)
+
+    makers = {
+        "Adam": lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),
+        "AdamW": lambda lr: optax.adamw(lr, weight_decay=cfg.weight_decay),
         # torch RMSprop defaults: alpha=0.99, eps=1e-8, no momentum/centering
-        opt = optax.rmsprop(cfg.learning_rate, decay=0.99, eps=1e-8)
-    elif cfg.optimizer == "SGD":
-        opt = optax.sgd(cfg.learning_rate)
-    else:
+        "RMSprop": lambda lr: optax.rmsprop(lr, decay=0.99, eps=1e-8),
+        "SGD": lambda lr: optax.sgd(lr),
+    }
+    try:
+        maker = makers[cfg.optimizer]
+    except KeyError:
         raise ValueError(cfg.optimizer)
+
+    if cfg.lr_schedule == "plateau":
+        # mutable learning rate: the Trainer halves it on dev-loss plateaus
+        # (the ReduceLROnPlateau the reference creates but never steps,
+        # src/solver.py:100)
+        opt = optax.inject_hyperparams(maker)(lr=cfg.learning_rate)
+    else:
+        opt = maker(lr)
+
     chain = [optax.clip(cfg.clip), opt]
     if cfg.apply_weight_decay and cfg.optimizer not in ("AdamW",):
         chain.insert(1, optax.add_decayed_weights(cfg.weight_decay))
     return optax.chain(*chain)
 
 
+def _walk_hyperparams(node, fn):
+    if hasattr(node, "hyperparams") and isinstance(node.hyperparams, dict):
+        hp = dict(node.hyperparams)
+        for k in hp:
+            hp[k] = fn(k, hp[k])
+        return node._replace(hyperparams=hp)
+    if isinstance(node, tuple) and hasattr(node, "_fields"):
+        return type(node)(*[_walk_hyperparams(x, fn) for x in node])
+    if isinstance(node, tuple):
+        return tuple(_walk_hyperparams(x, fn) for x in node)
+    if isinstance(node, list):
+        return [_walk_hyperparams(x, fn) for x in node]
+    if isinstance(node, dict):
+        return {k: _walk_hyperparams(v, fn) for k, v in node.items()}
+    return node
+
+
+def set_learning_rate(opt_state, new_lr: float):
+    """Overwrite every injected 'lr' hyperparameter in an optimizer state
+    (plateau schedule support)."""
+    import jax.numpy as jnp
+
+    def fn(k, v):
+        if k == "lr":
+            return jnp.asarray(new_lr, jnp.asarray(v).dtype)
+        return v
+
+    return _walk_hyperparams(opt_state, fn)
+
+
+def get_learning_rate(opt_state) -> Optional[float]:
+    found = []
+
+    def fn(k, v):
+        if k == "lr":
+            found.append(float(v))
+        return v
+
+    _walk_hyperparams(opt_state, fn)
+    return found[0] if found else None
+
+
 def make_optimizer(
-    cfg: Config, frozen: Optional[Any] = None
+    cfg: Config, frozen: Optional[Any] = None,
+    steps_per_epoch: Optional[int] = None,
 ) -> optax.GradientTransformation:
     """frozen: pytree of bools (True == frozen), same structure as params.
     grad_accum_steps > 1 wraps in optax.MultiSteps (microbatching: updates
-    apply every k-th step with the mean gradient)."""
-    base = _base_optimizer(cfg)
+    apply every k-th step with the mean gradient).  steps_per_epoch drives the
+    exponential lr schedule."""
+    base = _base_optimizer(cfg, steps_per_epoch)
     if frozen is not None:
         labels = jax.tree_util.tree_map(lambda f: "frozen" if f else "train", frozen)
         base = optax.multi_transform(
@@ -70,8 +132,9 @@ def create_train_state(
     params: Any,
     rng: jax.Array,
     frozen: Optional[Any] = None,
+    tx: Optional[optax.GradientTransformation] = None,
 ) -> TrainState:
-    tx = make_optimizer(cfg, frozen)
+    tx = tx if tx is not None else make_optimizer(cfg, frozen)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

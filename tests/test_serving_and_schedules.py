@@ -1,0 +1,112 @@
+"""Serving predictor + LR schedule tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmda_tpu.config import Config
+from mmda_tpu.data.synthetic import SyntheticSpec, make_split
+from mmda_tpu.models import get_model
+from mmda_tpu.serving import Predictor
+from mmda_tpu.train.state import (
+    create_train_state, get_learning_rate, make_optimizer, set_learning_rate)
+
+RNG = np.random.default_rng(4)
+
+
+def _cfg(**kw):
+    base = dict(
+        hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
+        embedding_size=8, compute_dtype="float32", use_bert=False,
+        batch_size=8, bucket_sizes=(4, 8), max_seq_len=8, log_sinks=(),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_predictor_ragged_requests():
+    cfg = _cfg()
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    pred = Predictor(cfg, params=params, max_batch=8)
+
+    def req(L):
+        return {
+            "text": RNG.integers(2, 64, size=L).astype(np.int32),
+            "visual": RNG.normal(size=(L, 5)).astype(np.float32),
+            "acoustic": RNG.normal(size=(L, 6)).astype(np.float32),
+            "bert_ids": RNG.integers(3, 64, size=L + 2).astype(np.int32),
+            "bert_type": np.zeros(L + 2, np.int32),
+            "bert_mask": np.ones(L + 2, np.int32),
+        }
+
+    out = pred([req(3), req(7), req(2)])
+    assert out["scores"].shape == (3, 6)
+    assert out["hidden"].shape == (3, 6 * 16)
+    assert np.isfinite(out["scores"]).all()
+    assert pred.stats["utterances"] == 3
+
+    # same request alone gives the same scores (padding rows don't leak)
+    out1 = pred([req(3)])
+    assert out1["scores"].shape == (1, 6)
+
+
+def test_predictor_padding_invariance():
+    cfg = _cfg()
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    pred = Predictor(cfg, params=params, max_batch=8)
+    r = {
+        "text": np.arange(2, 6).astype(np.int32),
+        "visual": RNG.normal(size=(4, 5)).astype(np.float32),
+        "acoustic": RNG.normal(size=(4, 6)).astype(np.float32),
+        "bert_ids": RNG.integers(3, 64, size=6).astype(np.int32),
+        "bert_type": np.zeros(6, np.int32),
+        "bert_mask": np.ones(6, np.int32),
+    }
+    a = pred([r])["scores"][0]
+    b = pred([r, r, r])["scores"][0]
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_exponential_schedule_decays_updates():
+    cfg = _cfg(lr_schedule="exponential", lr_decay_rate=0.5, learning_rate=1e-2)
+    tx = make_optimizer(cfg, steps_per_epoch=2)
+    params = {"w": jnp.ones(3)}
+    st = tx.init(params)
+    g = {"w": jnp.ones(3)}
+
+    deltas = []
+    p = params
+    for _ in range(6):
+        up, st = tx.update(g, st, p)
+        deltas.append(float(jnp.abs(up["w"]).mean()))
+    # Adam update magnitude ~lr; epochs of 2 steps halve it
+    assert deltas[0] > deltas[2] > deltas[4]
+    assert np.isclose(deltas[2] / deltas[0], 0.5, rtol=0.1)
+
+
+def test_plateau_lr_mutation():
+    cfg = _cfg(lr_schedule="plateau", learning_rate=1e-3)
+    tx = make_optimizer(cfg)
+    st = create_train_state(cfg, {"w": jnp.ones(3)}, jax.random.PRNGKey(0), tx=tx)
+    assert np.isclose(get_learning_rate(st.opt_state), 1e-3)
+    new_opt = set_learning_rate(st.opt_state, 5e-4)
+    assert np.isclose(get_learning_rate(new_opt), 5e-4)
+    # mutated state still usable
+    up, _ = tx.update({"w": jnp.ones(3)}, new_opt, {"w": jnp.ones(3)})
+    assert np.isfinite(np.asarray(up["w"])).all()
+
+
+def test_trainer_plateau_runs(tmp_path):
+    from mmda_tpu.data.synthetic import make_dataset
+    from mmda_tpu.train.loop import Trainer
+
+    cfg = _cfg(lr_schedule="plateau", lr_plateau_patience=0, n_epoch=3,
+               batch_size=16, name="plat", ckpt_dir=str(tmp_path))
+    data = make_dataset(num_train=32, num_dev=16, num_test=16, max_len=8,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+    tr = Trainer(cfg, data, use_mesh=False)
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
