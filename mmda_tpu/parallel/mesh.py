@@ -21,6 +21,53 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+REPLICA_AXIS = "replica"   # DCN axis for multi-slice scale-out
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host / multi-slice bring-up: `jax.distributed.initialize`.
+
+    On Cloud TPU pods the arguments are auto-detected from the environment;
+    pass them explicitly elsewhere.  After this, jax.devices() spans all
+    slices and `make_multislice_mesh` lays data-parallel replicas across DCN
+    while keeping model/data sharding inside each ICI-connected slice (the
+    scaling-book recipe: collectives ride ICI, only gradient allreduce crosses
+    DCN)."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def make_multislice_mesh(num_slices: int, dp: int = -1, tp: int = 1,
+                         devices=None) -> Mesh:
+    """('replica', 'data', 'model') mesh: 'replica' spans slices over DCN,
+    'data'/'model' stay inside a slice (ICI).  Shard the batch over
+    ('replica', 'data') jointly; XLA emits a hierarchical allreduce."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n % num_slices:
+        raise ValueError(f"{n} devices not divisible by {num_slices} slices")
+    per_slice = n // num_slices
+    if dp == -1:
+        dp = per_slice // tp
+    if dp * tp != per_slice:
+        raise ValueError(f"dp*tp={dp * tp} != devices per slice {per_slice}")
+    arr = np.empty((num_slices, dp, tp), dtype=object)
+    for i, d in enumerate(devices):
+        s, r = divmod(i, per_slice)
+        arr[s, r // tp, r % tp] = d
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def multislice_batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P((REPLICA_AXIS, DATA_AXIS)))
 
 
 def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:

@@ -20,6 +20,25 @@ def test_mesh_shapes():
     assert m1.shape["data"] == 8
 
 
+def test_multislice_mesh_on_faked_devices():
+    """2 'slices' x (2 dp x 2 tp) over the 8 faked CPU devices; grads match
+    the single-device result (hierarchical allreduce equivalence)."""
+    mesh = pmesh.make_multislice_mesh(num_slices=2, dp=2, tp=2)
+    assert mesh.shape == {"replica": 2, "data": 2, "model": 2}
+
+    x = jnp.arange(16.0).reshape(16, 1)
+    sx = jax.device_put(x, pmesh.multislice_batch_sharding(mesh))
+    w = jax.device_put(jnp.ones((1,)), pmesh.replicated(mesh))
+
+    def loss(w, x):
+        return jnp.mean((x[:, 0] * w[0]) ** 2)
+
+    g_single = jax.grad(loss)(jnp.ones((1,)), x)
+    g_multi = jax.jit(jax.grad(loss))(w, sx)
+    np.testing.assert_allclose(np.asarray(g_multi), np.asarray(g_single),
+                               rtol=1e-6)
+
+
 def test_param_partition_specs_rules():
     cfg = BertConfig.tiny()
     params = {"bert": init_bert_params(jax.random.PRNGKey(0), cfg),
