@@ -41,6 +41,14 @@ def main(argv=None):
         cfg = cfg.replace(log_sinks=tuple(cfg.log_sinks) + ("wandb",))
     print(cfg)
 
+    if cfg.debug_nans or cfg.disable_jit:
+        import jax
+
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        if cfg.disable_jit:
+            jax.config.update("jax_disable_jit", True)
+
     data, pretrained_emb = load_data(cfg)
 
     # multi-run support: the reference parses --runs but never uses it

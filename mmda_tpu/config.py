@@ -227,6 +227,9 @@ class Config:
                                   # (benchmarks/bench_kernels.py) show mixed
                                   # wins at MOSEI sizes; enable per-run.
     use_wandb: bool = False
+    debug_nans: bool = False      # jax_debug_nans: raise on the op producing a
+                                  # NaN (TPU-native CUDA_LAUNCH_BLOCKING analog)
+    disable_jit: bool = False     # op-by-op execution for debugging
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
