@@ -14,7 +14,7 @@ built, the hot parse loop runs in C++; the Python fallback is always available.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -17,7 +17,6 @@ its own max length (dynamic shapes -> would recompile under XLA).  Here:
 
 from __future__ import annotations
 
-import collections
 import threading
 from typing import Dict, Iterator, Optional, Sequence
 

@@ -13,7 +13,7 @@ ids/type/mask, 7-dim label split into sentiment + 6 binary emotions.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

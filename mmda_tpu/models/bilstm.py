@@ -31,6 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# LayerNorm shared with the rest of the model zoo (torch parity: eps=1e-5)
+from mmda_tpu.models.common import layer_norm, layer_norm_params  # noqa: F401
+
 
 # ---------------------------------------------------------------------------
 # Parameter initialization (torch-parity)
@@ -210,22 +213,6 @@ def birnn(
     return ys, jnp.concatenate([h_f, h_b], axis=-1)
 
 
-# ---------------------------------------------------------------------------
-# LayerNorm (torch parity: eps=1e-5, elementwise affine)
-# ---------------------------------------------------------------------------
-
-
-def layer_norm_params(dim: int) -> Dict:
-    return {"scale": jnp.ones((dim,), jnp.float32),
-            "bias": jnp.zeros((dim,), jnp.float32)}
-
-
-def layer_norm(p: Dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -22,8 +22,6 @@ Equivalence vs the XLA scan path is tested in tests/test_pallas_lstm.py
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
