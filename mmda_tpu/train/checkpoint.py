@@ -86,6 +86,28 @@ def checkpoint_exists(ckpt_dir: str, name: str) -> bool:
     return os.path.exists(os.path.join(ckpt_dir, f"{name}.msgpack"))
 
 
+def save_hidden(cfg, hidden, dataset: str = "") -> str:
+    """Persist fused hidden representations (reference save_hidden parity,
+    src/utils/tools.py:52-60; naming hidden_vectors/MISA[_C]_{dataset})."""
+    import numpy as np
+
+    os.makedirs("hidden_vectors", exist_ok=True)
+    suffix = "_C" if cfg.use_confidNet else ""
+    path = f"hidden_vectors/{cfg.model}{suffix}_{dataset or cfg.data}.npz"
+    np.savez_compressed(path, hidden=np.asarray(hidden))
+    return path
+
+
+def load_hidden(cfg, dataset: str = ""):
+    """Load previously saved hidden vectors (src/utils/tools.py:63-72)."""
+    import numpy as np
+
+    suffix = "_C" if cfg.use_confidNet else ""
+    path = f"hidden_vectors/{cfg.model}{suffix}_{dataset or cfg.data}.npz"
+    with np.load(path) as z:
+        return z["hidden"]
+
+
 def best_model_name(cfg) -> str:
     """Best-on-dev export name, mirroring the reference artifact naming
     best_model_MISA[_C]_{dataset}.pt (src/utils/tools.py:15-21)."""

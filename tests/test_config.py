@@ -1,0 +1,99 @@
+"""Config system tests: CLI parsing, reference-knob surface, presets,
+validation, hidden save/load."""
+
+import numpy as np
+import pytest
+
+from mmda_tpu.config import (
+    Config, DATASET_HP, MOSEI_HP, build_parser, get_config, str2bool)
+
+
+def test_str2bool_reference_spellings():
+    for v in ("yes", "true", "t", "y", "1", "True", "YES"):
+        assert str2bool(v) is True
+    for v in ("no", "false", "f", "n", "0", "False"):
+        assert str2bool(v) is False
+    import argparse
+
+    with pytest.raises(argparse.ArgumentTypeError):
+        str2bool("maybe")
+
+
+def test_cli_parses_reference_flags():
+    cfg = get_config(argv=[
+        "--data", "mosei", "--use_confidNet", "True", "--eval_mode", "micro",
+        "--learning_rate", "1e-5", "--dropout", "0.7", "--use_bert", "False",
+        "--diff_weight", "0.5", "--threshold", "0.4", "--rnncell", "gru",
+    ])
+    assert cfg.use_confidNet is True
+    assert cfg.eval_mode == "micro"
+    assert np.isclose(cfg.learning_rate, 1e-5)
+    assert np.isclose(cfg.dropout, 0.7)
+    assert cfg.use_bert is False
+    assert cfg.rnncell == "gru"
+
+
+def test_reference_defaults_preserved():
+    cfg = Config()
+    # every default from src/config.py:109-158
+    assert cfg.num_classes == 6
+    assert cfg.batch_size == 64
+    assert cfg.eval_batch_size == 10
+    assert cfg.n_epoch == 40
+    assert cfg.patience == 6
+    assert np.isclose(cfg.diff_weight, 0.3)
+    assert np.isclose(cfg.sim_weight, 0.7)
+    assert np.isclose(cfg.sp_weight, 0.0)
+    assert np.isclose(cfg.recon_weight, 0.7)
+    assert np.isclose(cfg.conf_weight, 0.3)
+    assert np.isclose(cfg.learning_rate, 1e-4)
+    assert cfg.optimizer == "Adam"
+    assert np.isclose(cfg.clip, 1.0)
+    assert np.isclose(cfg.weight_decay, 0.1)
+    assert cfg.rnncell == "lstm"
+    assert cfg.embedding_size == 300
+    assert cfg.hidden_size == 128
+    assert np.isclose(cfg.dropout, 0.1)
+    assert np.isclose(cfg.reverse_grad_weight, 1.0)
+    assert cfg.activation == "leakyrelu"
+    assert np.isclose(cfg.threshold, 0.35)
+    assert cfg.model == "MISA"
+    assert cfg.use_bert and cfg.use_cmd_sim and not cfg.use_confidNet
+
+
+def test_dataset_hp_preset_applies():
+    cfg = get_config(argv=["--data", "mosei", "--apply_dataset_hp", "True"])
+    assert cfg.batch_size == MOSEI_HP["batch_size"]
+    assert cfg.activation == "leakyrelu"
+    assert "mosi" in DATASET_HP
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError):
+        Config(activation="swish")
+    with pytest.raises(ValueError):
+        Config(eval_mode="median")
+    with pytest.raises(ValueError):
+        Config(lr_schedule="cosine")
+    with pytest.raises(ValueError):
+        Config(missing_modality="text")
+
+
+def test_config_frozen_and_replace():
+    cfg = Config()
+    with pytest.raises(Exception):
+        cfg.batch_size = 1  # frozen dataclass
+    cfg2 = cfg.replace(batch_size=8)
+    assert cfg2.batch_size == 8 and cfg.batch_size == 64
+
+
+def test_save_load_hidden(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from mmda_tpu.train.checkpoint import load_hidden, save_hidden
+
+    cfg = Config(use_confidNet=True)
+    h = np.arange(12.0).reshape(3, 4)
+    path = save_hidden(cfg, h)
+    assert "MISA_C_mosei" in path
+    got = load_hidden(cfg)
+    np.testing.assert_array_equal(got, h)
