@@ -122,7 +122,6 @@ def init_misa_params(
     vocab = vocab_size or cfg.vocab_size
     H = cfg.hidden_size
     C = cfg.num_classes
-    cell = cfg.rnncell
 
     ks = jax.random.split(key, 24)
     params: Dict[str, Any] = {}
@@ -198,7 +197,6 @@ def misa_forward(
 ) -> MISAOutput:
     act = get_activation(cfg.activation)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
-    cell = cfg.rnncell
     H = cfg.hidden_size
 
     if rng is None:

@@ -135,7 +135,7 @@ class Trainer:
         frozen = None
         if cfg.use_bert and "bert" in params:
             frozen = jax.tree_util.tree_map(lambda _: False, params)
-            if cfg.data == "mosei":
+            if cfg.data.startswith("mosei"):
                 frozen["bert"] = frozen_mask(params["bert"], max_frozen_layer=8)
                 if cfg.freeze_bert_embeddings:
                     frozen["bert"]["embeddings"] = jax.tree_util.tree_map(
