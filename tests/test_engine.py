@@ -191,6 +191,23 @@ def test_trainer_dp_mesh_smoke(tmp_path):
     assert np.isfinite(summary["test_loss"])
 
 
+def test_trainer_deterministic_across_runs(tmp_path):
+    """Same seed -> identical loss trajectory (threaded PRNG keys replace the
+    reference's global torch/numpy seeding, src/train.py:45-51)."""
+    data = make_dataset(num_train=64, num_dev=32, num_test=32, max_len=8,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+
+    def run(subdir):
+        cfg = _cfg(ckpt_dir=str(tmp_path / subdir), n_epoch=2, seed=123)
+        return Trainer(cfg, data, use_mesh=False).train()
+
+    a, b = run("a"), run("b")
+    for ha, hb in zip(a["history"], b["history"]):
+        assert ha["train_loss"] == hb["train_loss"]
+        assert ha["valid_loss"] == hb["valid_loss"]
+
+
 def test_trainer_resume(tmp_path):
     cfg = _cfg(ckpt_dir=str(tmp_path), n_epoch=2)
     data = make_dataset(num_train=64, num_dev=32, num_test=32, max_len=8,
