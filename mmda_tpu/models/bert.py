@@ -178,19 +178,24 @@ def bert_encode(
         qkv = _apply_dense({"kernel": qkv_kernel, "bias": qkv_bias}, x,
                            compute_dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, S, nh, hd)
-        k = k.reshape(B, S, nh, hd)
-        v = v.reshape(B, S, nh, hd)
-        # (B, nh, S, S) logits in fp32 for a stable softmax
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        logits = logits + attn_bias
+        # flatten (batch, heads) into one leading batch dim: explicit batched
+        # dot_general lays out ~1.4x faster on the MXU than the 4-D einsum at
+        # these sizes (measured; benchmarks/RESULTS.md)
+        def heads(t):
+            return t.reshape(B, S, nh, hd).transpose(0, 2, 1, 3).reshape(B * nh, S, hd)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale      # (B*nh, S, S)
+        logits = logits + jnp.repeat(attn_bias[:, 0], nh, axis=0)
         probs = jax.nn.softmax(logits, axis=-1)
         if not deterministic:
             probs = _dropout(rngs[3 * i + 1], probs, cfg.attention_dropout, deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(compute_dtype), v,
-                         preferred_element_type=jnp.float32).astype(compute_dtype)
-        ctx = ctx.reshape(B, S, H)
+        ctx = jax.lax.dot_general(
+            probs.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(compute_dtype)
+        ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
         attn = _apply_dense(lp["attn_out"], ctx, compute_dtype)
         if not deterministic:
             attn = _dropout(rngs[3 * i + 2], attn, cfg.hidden_dropout, deterministic)
