@@ -78,6 +78,28 @@ def test_confidnet_two_stage(tmp_path):
     assert np.isfinite(np.asarray(final["confidence"]["kernel"])).all()
 
 
+def test_domain_adversarial_trainer(tmp_path):
+    """use_cmd_sim=False: similarity loss becomes the gradient-reversed domain
+    CE (reference src/solver.py:388-407) - trains end-to-end."""
+    cfg = _cfg(data="mosei", name="adv", ckpt_dir=str(tmp_path),
+               use_cmd_sim=False, n_epoch=2)
+    tr = Trainer(cfg, _data(), use_mesh=False)
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
+    sims = [h["train_sim"] for h in summary["history"]]
+    assert all(np.isfinite(s) for s in sims)
+    # CE over 3 domains starts near ln(3)
+    assert 0.3 < sims[0] < 3.0
+
+
+def test_gru_cell_trainer(tmp_path):
+    cfg = _cfg(data="mosei", name="gru", ckpt_dir=str(tmp_path),
+               rnncell="gru", n_epoch=1)
+    tr = Trainer(cfg, _data(), use_mesh=False)
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
+
+
 def test_ef_lstm_model_family(tmp_path):
     """Second registry entry: early-fusion LSTM baseline trains end-to-end."""
     cfg = _cfg(data="mosei", name="ef", ckpt_dir=str(tmp_path),
