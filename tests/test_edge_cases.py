@@ -1,0 +1,112 @@
+"""Corner cases: tiny datasets, degenerate metrics inputs, serving truncation,
+conf-loss hazard flag."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmda_tpu.config import Config
+from mmda_tpu.data.loader import ArrayLoader
+from mmda_tpu.data.synthetic import SyntheticSpec, make_split
+from mmda_tpu.models import get_model
+from mmda_tpu.ops import losses as L
+from mmda_tpu.serving import Predictor
+from mmda_tpu.utils.metrics import get_accuracy, get_metrics
+
+RNG = np.random.default_rng(31)
+
+
+def _split(n, t=8):
+    return make_split(SyntheticSpec(
+        num_examples=n, max_len=t, visual_size=5, acoustic_size=6,
+        vocab_size=64, bert_vocab_size=64))
+
+
+def test_loader_batch_larger_than_dataset():
+    data = _split(5)
+    loader = ArrayLoader(data, batch_size=16, shuffle=False, prefetch=0)
+    batches = list(loader)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.text.shape[0] == 16
+    assert int(np.asarray(b.sample_weight).sum()) == 5
+
+
+def test_loader_drop_last_smaller_than_batch():
+    data = _split(5)
+    loader = ArrayLoader(data, batch_size=16, shuffle=True, drop_last=True,
+                         prefetch=0)
+    assert len(loader) == 0
+    assert list(loader) == []
+
+
+def test_metrics_all_zero_predictions():
+    y = (RNG.uniform(size=(20, 6)) > 0.5).astype(int)
+    p = np.zeros((20, 6), int)
+    m = get_metrics(y, p)   # zero_division guarded
+    assert m["precision"] == 0.0
+    assert np.isfinite(m["f1"])
+    assert 0 <= get_accuracy(y, p) <= 1
+
+
+def test_get_accuracy_all_negative_rows():
+    # all_y <= 0 -> denominator forced to 1 (reference :24-26)
+    y = np.zeros((4, 6))
+    p = np.zeros((4, 6))
+    assert get_accuracy(y, p) == 0.0
+
+
+def test_conf_loss_reference_inf_hazard_documented():
+    """Faithful mode divides by count_nonzero: a class with NO positives gives
+    a non-finite value, exactly like the reference (src/solver.py:459-460)."""
+    pred = jnp.full((6, 6), 0.5)
+    truth = jnp.zeros((6, 6))
+    tcp = jnp.full((6, 6), 0.5)
+    faithful = float(L.conf_loss(pred, truth, tcp, fix=False))
+    assert not np.isfinite(faithful)
+    fixed = float(L.conf_loss(pred, truth, tcp, fix=True))
+    assert np.isfinite(fixed)
+
+
+def test_serving_truncates_overlong_request():
+    cfg = Config(
+        hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
+        embedding_size=8, compute_dtype="float32", use_bert=False,
+        bucket_sizes=(4, 8), max_seq_len=8,
+    )
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    pred = Predictor(cfg, params=params, max_batch=4)
+    L_req = 20   # longer than the biggest bucket (8)
+    r = {
+        "text": RNG.integers(2, 64, size=L_req).astype(np.int32),
+        "visual": RNG.normal(size=(L_req, 5)).astype(np.float32),
+        "acoustic": RNG.normal(size=(L_req, 6)).astype(np.float32),
+        "bert_ids": RNG.integers(3, 64, size=L_req + 2).astype(np.int32),
+        "bert_type": np.zeros(L_req + 2, np.int32),
+        "bert_mask": np.ones(L_req + 2, np.int32),
+    }
+    out = pred([r])
+    assert out["scores"].shape == (1, 6)
+    assert np.isfinite(out["scores"]).all()
+
+
+def test_single_bucket_single_example_train_step():
+    from mmda_tpu.models import Batch
+    from mmda_tpu.train.state import create_train_state, make_optimizer
+    from mmda_tpu.train.step import make_train_step
+
+    cfg = Config(hidden_size=8, visual_size=5, acoustic_size=6, vocab_size=64,
+                 embedding_size=8, compute_dtype="float32", use_bert=False,
+                 batch_size=1)
+    init_fn, fwd_fn = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, params, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, fwd_fn, donate=False)
+    data = _split(1)
+    batch = Batch(**{k: jnp.asarray(v) for k, v in data.items()})
+    _, losses = step(state, batch)
+    # DiffLoss zero-means over a batch of 1 -> degenerate but finite
+    assert np.isfinite(float(losses["cls"]))
