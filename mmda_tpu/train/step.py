@@ -81,6 +81,7 @@ def make_train_step(
         grads, losses = jax.grad(loss_fn, has_aux=True)(
             state.params, batch, r_model, keep
         )
+        losses = dict(losses, grad_norm=optax.global_norm(grads))
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
