@@ -114,6 +114,28 @@ def test_ef_lstm_model_family(tmp_path):
     assert hist[0]["train_sim"] == 0.0
 
 
+def test_lf_dnn_model_family(tmp_path):
+    """Third registry entry: late-fusion DNN baseline trains end-to-end and
+    supports unaligned data."""
+    from mmda_tpu.data.synthetic import make_dataset
+
+    cfg = _cfg(data="mosei", name="lf", ckpt_dir=str(tmp_path),
+               model="LF_DNN", n_epoch=2)
+    tr = Trainer(cfg, _data(), use_mesh=False)
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
+    assert summary["history"][-1]["train_loss"] < summary["history"][0]["train_loss"]
+
+    # unaligned data path
+    data_u = make_dataset(num_train=32, num_dev=16, num_test=16, max_len=8,
+                          visual_size=5, acoustic_size=6, vocab_size=64,
+                          bert_vocab_size=64, aligned=False)
+    cfg2 = _cfg(data="mosei", name="lfu", ckpt_dir=str(tmp_path), model="LF_DNN",
+                n_epoch=1, batch_size=16)
+    summary2 = Trainer(cfg2, data_u, use_mesh=False).train()
+    assert np.isfinite(summary2["test_loss"])
+
+
 def test_missing_modality_eval(tmp_path):
     # adaptation config: zeroed visual stream at train+eval
     cfg = _cfg(data="mosei", name="mm", ckpt_dir=str(tmp_path),
