@@ -163,11 +163,14 @@ def _prefetch_iter(host_iter, to_device, depth: int):
     done = object()
 
     def producer():
+        # an exception mid-epoch must surface in the consumer, not silently
+        # truncate the epoch (training would continue on partial data)
         try:
             for arrays in host_iter:
                 q.put(to_device(arrays))
-        finally:
             q.put(done)
+        except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
+            q.put(exc)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -175,4 +178,6 @@ def _prefetch_iter(host_iter, to_device, depth: int):
         item = q.get()
         if item is done:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -79,7 +79,11 @@ def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
     if dp == -1:
         dp = n // tp
     if dp * tp != n:
-        devices = devices[: dp * tp]
+        # Silent truncation on a pod is a debugging nightmare; callers that
+        # want a sub-mesh must slice the device list explicitly.
+        raise ValueError(
+            f"dp*tp={dp * tp} != device count {n}; pass devices=devices[:dp*tp] "
+            "explicitly to build a sub-mesh")
     # NOTE: jax.experimental.mesh_utils is deliberately avoided - under the
     # axon TPU tunnel a site wrapper overrides the `devices` argument.
     arr = np.empty((dp, tp), dtype=object)

@@ -36,10 +36,19 @@ class Predictor:
         acoustic_size: Optional[int] = None,
         vocab_size: Optional[int] = None,
         max_batch: int = 64,
+        tokenizer=None,
+        word2id: Optional[Dict[str, int]] = None,
     ):
         self.cfg = cfg
         self.bert_cfg = bert_cfg or (BertConfig.base() if cfg.use_bert else None)
         self.max_batch = max_batch
+        # raw-text path: a WordPieceTokenizer (etl/tokenizer.py) turns
+        # `{"text": "a string"}` requests into bert ids; word2id maps words to
+        # GloVe-tower token ids (unknown words -> 0, the <unk> slot)
+        self.tokenizer = tokenizer
+        self.word2id = word2id or {}
+        self.visual_size = visual_size
+        self.acoustic_size = acoustic_size
         init_fn, self.forward_fn = get_model(cfg.model)
         if params is None:
             template = init_fn(
@@ -72,11 +81,40 @@ class Predictor:
                 return b
         return max(self.cfg.bucket_sizes)
 
+    def _detokenize(self, r: Dict) -> Dict[str, np.ndarray]:
+        """Expand a raw-text request (`text` is a str) into the array form the
+        batcher expects.  Missing visual/acoustic streams become zeros - the
+        missing-modality story applies at serving time too."""
+        words = r["text"].split()
+        L = max(len(words), 1)
+        ids, types, mask = self.tokenizer.encode(r["text"], L + 2)
+        out = {
+            "text": np.asarray(
+                [self.word2id.get(w.lower(), 0) for w in words] or [0], np.int32),
+            "bert_ids": ids, "bert_type": types, "bert_mask": mask,
+        }
+        dv = self.visual_size or self.cfg.visual_size
+        da = self.acoustic_size or self.cfg.acoustic_size
+        out["visual"] = r.get("visual", np.zeros((L, dv), np.float32))
+        out["acoustic"] = r.get("acoustic", np.zeros((L, da), np.float32))
+        return out
+
     def __call__(self, requests: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         """requests: list of per-utterance dicts with keys text (L,), visual
-        (L, Dv), acoustic (L, Da), bert_ids/bert_type/bert_mask (L+2,).
-        Returns stacked result arrays trimmed to len(requests)."""
+        (L, Dv), acoustic (L, Da), bert_ids/bert_type/bert_mask (L+2,) - or,
+        when a tokenizer was given, raw `{"text": "a string"}` requests
+        (visual/acoustic optional).  Returns stacked result arrays trimmed to
+        len(requests)."""
         t0 = time.perf_counter()
+        if any(isinstance(r.get("text"), str) for r in requests):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "raw-text request but Predictor was built without a "
+                    "tokenizer; pass tokenizer=WordPieceTokenizer.from_vocab_file(...)")
+            requests = [
+                self._detokenize(r) if isinstance(r.get("text"), str) else r
+                for r in requests
+            ]
         n = len(requests)
         t = self._bucket(max(len(r["text"]) for r in requests))
         B = self.max_batch

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 import threading
 from typing import Any, Dict, Optional
 
@@ -26,6 +27,46 @@ from flax import serialization
 
 def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+# One lock per checkpoint path: two async saves of the same name (e.g. a slow
+# ~GB `last_*` write outlasting an epoch) must not interleave; distinct names
+# still write concurrently.  A per-path sequence number additionally drops a
+# stale write that only wins the lock AFTER a newer snapshot already landed.
+_write_locks: Dict[str, threading.Lock] = {}
+_issued_seq: Dict[str, int] = {}
+_committed_seq: Dict[str, int] = {}
+_write_locks_guard = threading.Lock()
+
+
+def _lock_for(path: str) -> threading.Lock:
+    with _write_locks_guard:
+        return _write_locks.setdefault(path, threading.Lock())
+
+
+def _next_seq(path: str) -> int:
+    with _write_locks_guard:
+        seq = _issued_seq.get(path, 0) + 1
+        _issued_seq[path] = seq
+        return seq
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write via a UNIQUE temp file in the target dir, then rename.  A fixed
+    '<path>.tmp' would let two concurrent writers interleave into one file and
+    rename a corrupt checkpoint into place."""
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               prefix=os.path.basename(path) + ".tmp.")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def save_checkpoint(
@@ -46,17 +87,18 @@ def save_checkpoint(
     payload = serialization.to_bytes(host_state)
     meta = dict(metadata or {})
 
+    path = os.path.join(ckpt_dir, f"{name}.msgpack")
+    seq = _next_seq(path)
+
     def write():
-        path = os.path.join(ckpt_dir, f"{name}.msgpack")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(payload)
-        os.replace(tmp, path)
-        mpath = os.path.join(ckpt_dir, f"{name}.json")
-        mtmp = mpath + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump(meta, f, indent=2, default=str)
-        os.replace(mtmp, mpath)
+        with _lock_for(path):
+            if _committed_seq.get(path, 0) > seq:
+                return  # a newer snapshot already landed; don't regress
+            _committed_seq[path] = seq
+            _atomic_write(path, payload)
+            _atomic_write(
+                os.path.join(ckpt_dir, f"{name}.json"),
+                json.dumps(meta, indent=2, default=str).encode())
 
     if async_write:
         t = threading.Thread(target=write, daemon=True)

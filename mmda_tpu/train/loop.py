@@ -236,10 +236,19 @@ class Trainer:
             # one host sync per epoch
             jax.block_until_ready(self.state.params)
             epoch_time = time.perf_counter() - t0
+            if not epoch_losses:
+                raise ValueError(
+                    f"epoch {e} produced no batches: the train split has "
+                    f"{self.meta.num_train} rows but batch_size="
+                    f"{cfg.batch_size} with drop_last — shrink batch_size "
+                    "or grow the dataset")
+            keys = set(epoch_losses[0])
+            for l in epoch_losses[1:]:
+                keys &= set(l)
             stacked = {
                 k: float(np.mean(np.concatenate(
                     [np.asarray(l[k]).ravel() for l in epoch_losses])))
-                for k in epoch_losses[0]
+                for k in keys
             }
             train_avg_loss = round(stacked["total"], 4)
 

@@ -120,6 +120,10 @@ def make_train_epoch(
         grads, losses = jax.grad(loss_fn, has_aux=True)(
             state.params, batch, r_model, keep
         )
+        # keep the loss-dict keys identical to make_train_step's: an epoch can
+        # mix scanned chunks with per-step remainder batches, and the epoch
+        # aggregation iterates one dict's keys across both
+        losses = dict(losses, grad_norm=optax.global_norm(grads))
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=params,

@@ -28,6 +28,11 @@ def weighted_accuracy(preds: np.ndarray, truths: np.ndarray) -> float:
     tn = float(np.sum(~true_label & ~pred_label))
     p = float(np.sum(true_label))
     n = float(np.sum(~true_label))
+    # all-positive / all-negative batches make the reference formula divide by
+    # zero (src/utils/eval_metrics.py:18-26); degrade to plain accuracy of the
+    # one class that exists instead of returning inf/nan
+    if p == 0.0 or n == 0.0:
+        return (tp + tn) / float(len(true_label)) if len(true_label) else float("nan")
     return (tp * (n / p) + tn) / (2 * n)
 
 
