@@ -267,10 +267,11 @@ def test_training_run_matches_torch_oracle():
 
     # step-0 losses are a pure-function cross-check (identical weights, no
     # accumulated drift): tight tolerance
-    np.testing.assert_allclose(traj_jax[0], traj_torch[0], rtol=1e-4)
+    np.testing.assert_allclose(traj_jax[0], traj_torch[0], rtol=1e-5)
 
-    # whole-trajectory agreement (fp32 accumulation drift allowed)
-    np.testing.assert_allclose(traj_jax, traj_torch, rtol=2e-2, atol=2e-2)
+    # whole-trajectory agreement: measured max |delta| is ~3e-6 over 48 steps
+    # (docs/TRAIN_PARITY.md); 1e-4 leaves ~30x headroom for platform variance
+    np.testing.assert_allclose(traj_jax, traj_torch, rtol=1e-4, atol=1e-4)
 
     # ---- end-of-run metric parity on a held-out split --------------------
     dev = _make_batches(rng, 2, SEED + 1)
