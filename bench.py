@@ -24,10 +24,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def jnp_stack(x, n):
+def jnp_stack(xs):
     import jax.numpy as jnp
 
-    return jnp.broadcast_to(jnp.asarray(x)[None], (n,) + x.shape)
+    return jnp.stack([jnp.asarray(x) for x in xs], axis=0)
 
 
 def main():
@@ -37,6 +37,9 @@ def main():
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_tpu_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", "rbg")   # cfg.fast_rng
 
     from mmda_tpu.config import Config
     from mmda_tpu.data.synthetic import SyntheticSpec, make_split
@@ -49,15 +52,16 @@ def main():
     cfg = Config(
         use_bert=True, batch_size=B, max_seq_len=T,
         compute_dtype="bfloat16", data="mosei", name="bench",
+        attn_impl=os.environ.get("BENCH_ATTN", "xla"),
     )
     bert_cfg = BertConfig.base()
 
-    spec = SyntheticSpec(num_examples=B, max_len=T, seed=0)
-    split = make_split(spec)
-    # full-length rows: steady-state shape (worst-case padding)
-    split["lengths"][:] = T
-    split["bert_mask"][:] = 1
-    batch = Batch(**{k: jax.device_put(v) for k, v in split.items()})
+    def make_batch(seed):
+        split = make_split(SyntheticSpec(num_examples=B, max_len=T, seed=seed))
+        # full-length rows: steady-state shape (worst-case padding)
+        split["lengths"][:] = T
+        split["bert_mask"][:] = 1
+        return split
 
     init_fn, fwd_fn = get_model(cfg.model)
     params = init_fn(jax.random.PRNGKey(0), cfg, bert_cfg=bert_cfg)
@@ -74,9 +78,14 @@ def main():
     # through the axon relay and fake sub-ms step times).
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    epoch_fn = make_train_epoch(cfg, tx, fwd_fn, bert_cfg)
-    batches = jax.tree_util.tree_map(
-        lambda x: jnp_stack(x, n_steps), batch)
+    epoch_fn = make_train_epoch(cfg, tx, fwd_fn, bert_cfg, frozen=frozen)
+    # n_steps DISTINCT batches: the scanned-epoch loss trajectory is realistic
+    # (one broadcast batch would overfit within the scan)
+    splits = [make_batch(seed) for seed in range(n_steps)]
+    batches = Batch(**{
+        k: jax.device_put(jnp_stack([s[k] for s in splits]))
+        for k in splits[0]
+    })
 
     state, losses = epoch_fn(state, batches)        # warmup/compile
     _ = float(losses["total"][-1])

@@ -226,10 +226,34 @@ class Config:
                                   # Off by default: TPU microbenchmarks
                                   # (benchmarks/bench_kernels.py) show mixed
                                   # wins at MOSEI sizes; enable per-run.
+    use_flash_attention: bool = False   # Pallas blockwise flash attention in
+                                  # the BERT tower.  Off by default: at MOSEI
+                                  # S<=66 plain XLA attention is faster (the
+                                  # (S,S) logits fit in VMEM); wins at long S -
+                                  # see benchmarks/RESULTS.md flash section.
+    attn_impl: str = "xla"        # BERT attention core: "xla" | "fused"
+                                  # (Pallas short-seq kernel, ops/pallas/
+                                  # short_attention.py) | "flash" (long-seq
+                                  # blockwise kernel).  Falls back to xla off
+                                  # TPU automatically (kernels interpret-run
+                                  # only in tests).
+    fast_rng: bool = True         # on TPU, use the rbg hardware PRNG for
+                                  # dropout masks instead of threefry
+                                  # (measured -1.15 ms/fwd at B=64/T=48,
+                                  # benchmarks/RESULTS.md RNG section); still
+                                  # deterministic per key, but the stream
+                                  # differs from threefry.
     use_wandb: bool = False
     debug_nans: bool = False      # jax_debug_nans: raise on the op producing a
                                   # NaN (TPU-native CUDA_LAUNCH_BLOCKING analog)
     disable_jit: bool = False     # op-by-op execution for debugging
+
+    def resolved_attn_impl(self) -> str:
+        """Effective BERT attention implementation; use_flash_attention is the
+        back-compat alias for attn_impl='flash'."""
+        if self.attn_impl == "xla" and self.use_flash_attention:
+            return "flash"
+        return self.attn_impl
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -262,6 +286,9 @@ class Config:
             raise ValueError(f"bad missing_modality {self.missing_modality!r}")
         if self.task not in ("auto", "classification", "regression", "binary"):
             raise ValueError(f"bad task {self.task!r}")
+        if self.attn_impl not in ("xla", "fused", "flash"):
+            raise ValueError(
+                f"attn_impl must be xla|fused|flash, got {self.attn_impl!r}")
         if self.lr_schedule not in ("none", "exponential", "plateau"):
             raise ValueError(f"bad lr_schedule {self.lr_schedule!r}")
 

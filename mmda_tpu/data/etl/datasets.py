@@ -32,7 +32,11 @@ def _load_pickle(path):
         return pickle.load(f)
 
 
-def _require_mmsdk(sdk_dir: Optional[str]):
+def _require_mmsdk(sdk_dir: Optional[str], data_path: Optional[str] = None):
+    """Return an SDK backend: the real mmsdk when installed, else the local
+    h5py CSD backend (etl/csd.py) when .csd files are already on disk.  The
+    local backend runs the exact same collector code; it just can't download."""
+    import glob
     import sys
 
     if sdk_dir:
@@ -42,9 +46,14 @@ def _require_mmsdk(sdk_dir: Optional[str]):
 
         return md
     except ImportError as e:
+        if data_path and glob.glob(os.path.join(data_path, "*.csd")):
+            from mmda_tpu.data.etl.csd import local_sdk
+
+            return local_sdk(data_path)
         raise ImportError(
-            "CMU-MultimodalSDK (mmsdk) is required for MOSI/MOSEI ETL. "
-            "Install it or pass --sdk_dir; for hermetic runs use --data synthetic."
+            "CMU-MultimodalSDK (mmsdk) is required to DOWNLOAD MOSI/MOSEI. "
+            "With .csd files already on disk the built-in h5py backend is "
+            "used automatically; for hermetic runs use --data synthetic."
         ) from e
 
 
@@ -108,7 +117,7 @@ def _collect_sdk_segments(
 
 
 def collect_mosi(data_path: str, sdk_dir: Optional[str], vocab: Vocab):
-    md = _require_mmsdk(sdk_dir)
+    md = _require_mmsdk(sdk_dir, data_path)
     return _collect_sdk_segments(
         md, data_path, md.cmu_mosi,
         text_field="CMU_MOSI_TimestampedWords",
@@ -120,7 +129,7 @@ def collect_mosi(data_path: str, sdk_dir: Optional[str], vocab: Vocab):
 
 
 def collect_mosei(data_path: str, sdk_dir: Optional[str], vocab: Vocab):
-    md = _require_mmsdk(sdk_dir)
+    md = _require_mmsdk(sdk_dir, data_path)
     return _collect_sdk_segments(
         md, data_path, md.cmu_mosei,
         text_field="CMU_MOSEI_TimestampedWords",
@@ -137,7 +146,7 @@ def collect_mosei_unaligned(data_path: str, sdk_dir: Optional[str],
     modality keeps its native sampling rate within a labeled segment.
     Implements the reference's empty UnAlignedMoseiDataset stub
     (src/data_loader.py:133-135)."""
-    md = _require_mmsdk(sdk_dir)
+    md = _require_mmsdk(sdk_dir, data_path)
     dataset_cfg = md.cmu_mosei
     text_field = "CMU_MOSEI_TimestampedWords"
     visual_field = "CMU_MOSEI_VisualFacet42"

@@ -43,6 +43,9 @@ class BertConfig:
     attention_dropout: float = 0.1
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
+    gelu_exact: bool = True       # erf GELU (HF parity); False = tanh approx
+    ln_fp32: bool = True          # LayerNorm statistics in fp32 (parity);
+                                  # False computes in the activation dtype
 
     @staticmethod
     def base() -> "BertConfig":
@@ -111,11 +114,13 @@ def init_bert_params(key, cfg: BertConfig) -> Dict:
 # ---------------------------------------------------------------------------
 
 
-def _layer_norm(p, x, eps):
-    xf = x.astype(jnp.float32)
+def _layer_norm(p, x, eps, fp32: bool = True):
+    xf = x.astype(jnp.float32) if fp32 else x
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    return ((xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(x.dtype)
+    scale = p["scale"] if fp32 else p["scale"].astype(x.dtype)
+    bias = p["bias"] if fp32 else p["bias"].astype(x.dtype)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
 
 
 def _apply_dense(p, x, compute_dtype):
@@ -140,13 +145,34 @@ def bert_encode(
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
+    use_flash_attention: bool = False,
+    attn_impl: Optional[str] = None,   # "xla" (default) | "flash" | "skip"
+                                       # ("skip" = ablation: ctx := x, for
+                                       # attention-cost attribution in
+                                       # benchmarks/bench_fwd_parts.py)
 ) -> jnp.ndarray:
     """Return the last hidden state (B, S, H) - what the reference consumes as
-    bert_output[0] (src/models.py:191)."""
+    bert_output[0] (src/models.py:191).
+
+    use_flash_attention routes the attention core through the Pallas blockwise
+    kernel (ops/pallas/attention.py) - O(S) memory, wins at long S; the XLA
+    path is optimal at MOSEI lengths (benchmarks/RESULTS.md)."""
     B, S = input_ids.shape
     H = cfg.hidden_size
     nh = cfg.num_heads
     hd = H // nh
+    if attn_impl is None:
+        attn_impl = "flash" if use_flash_attention else "xla"
+    if attn_impl in ("fused", "flash") and jax.default_backend() != "tpu":
+        # Pallas kernels only interpret-run off TPU (slow); fall back unless a
+        # test explicitly forced interpreter mode
+        from mmda_tpu.ops.pallas import attention as _fa
+        from mmda_tpu.ops.pallas import short_attention as _sa
+
+        forced = {"fused": _sa._FORCE_INTERPRET,
+                  "flash": _fa._FORCE_INTERPRET}[attn_impl]
+        if not forced:
+            attn_impl = "xla"
 
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(input_ids)
@@ -156,7 +182,8 @@ def bert_encode(
         + params["embeddings"]["position"][jnp.arange(S)][None, :, :]
         + params["embeddings"]["token_type"][token_type_ids]
     )
-    x = _layer_norm(params["embeddings"]["ln"], emb, cfg.layer_norm_eps).astype(compute_dtype)
+    x = _layer_norm(params["embeddings"]["ln"], emb, cfg.layer_norm_eps,
+                    cfg.ln_fp32).astype(compute_dtype)
 
     if not deterministic:
         rngs = jax.random.split(dropout_rng, 3 * cfg.num_layers + 1)
@@ -184,29 +211,89 @@ def bert_encode(
         def heads(t):
             return t.reshape(B, S, nh, hd).transpose(0, 2, 1, 3).reshape(B * nh, S, hd)
 
-        q, k, v = heads(q), heads(k), heads(v)
-        logits = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale      # (B*nh, S, S)
-        logits = logits + jnp.repeat(attn_bias[:, 0], nh, axis=0)
-        probs = jax.nn.softmax(logits, axis=-1)
-        if not deterministic:
-            probs = _dropout(rngs[3 * i + 1], probs, cfg.attention_dropout, deterministic)
-        ctx = jax.lax.dot_general(
-            probs.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(compute_dtype)
-        ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
+        if attn_impl == "skip":
+            ctx = x                                       # ablation only
+        elif attn_impl == "transpose_only":               # ablation only
+            ctx = heads(q)
+            ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
+        elif attn_impl == "xla_pad64" and S <= 64:
+            # pad the sequence axis to the 64-sublane boundary INSIDE the
+            # attention core only (FFN/projection row counts unchanged)
+            pad = 64 - S
+            qp, kp, vp = (jnp.pad(heads(t), ((0, 0), (0, pad), (0, 0)))
+                          for t in (q, k, v))
+            bias_p = jnp.pad(jnp.repeat(attn_bias[:, 0], nh, axis=0),
+                             ((0, 0), (0, 0), (0, pad)),
+                             constant_values=-1e9)
+            logits = jax.lax.dot_general(
+                qp, kp, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            logits = logits + bias_p
+            probs = jax.nn.softmax(logits, axis=-1)
+            if not deterministic:
+                probs = _dropout(rngs[3 * i + 1], probs, cfg.attention_dropout,
+                                 deterministic)
+            ctx = jax.lax.dot_general(
+                probs.astype(compute_dtype), vp, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(compute_dtype)[:, :S]
+            ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
+        elif attn_impl == "fused":
+            from mmda_tpu.ops.pallas.short_attention import short_attention
+
+            def headed(t):
+                return t.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+
+            rate = 0.0 if deterministic else cfg.attention_dropout
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    rngs[3 * i + 1], (1,), 0, np.iinfo(np.int32).max,
+                    dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            key_bias = attn_bias[:, 0, 0]                 # (B, S) additive
+            ctx = short_attention(headed(q), headed(k), headed(v),
+                                  key_bias, seed, rate)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
+        elif attn_impl == "flash" and (deterministic
+                                       or cfg.attention_dropout == 0.0):
+            from mmda_tpu.ops.pallas.attention import flash_attention
+
+            q, k, v = heads(q), heads(k), heads(v)
+            key_bias = jnp.repeat(attn_bias[:, 0, 0], nh, axis=0)  # (B*nh, S)
+            ctx = flash_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), key_bias).astype(compute_dtype)
+            ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
+        else:
+            q, k, v = heads(q), heads(k), heads(v)
+            logits = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # (B*nh, S, S)
+            logits = logits + jnp.repeat(attn_bias[:, 0], nh, axis=0)
+            probs = jax.nn.softmax(logits, axis=-1)
+            if not deterministic:
+                probs = _dropout(rngs[3 * i + 1], probs, cfg.attention_dropout,
+                                 deterministic)
+            ctx = jax.lax.dot_general(
+                probs.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(compute_dtype)
+            ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
         attn = _apply_dense(lp["attn_out"], ctx, compute_dtype)
         if not deterministic:
             attn = _dropout(rngs[3 * i + 2], attn, cfg.hidden_dropout, deterministic)
-        x = _layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps).astype(compute_dtype)
+        x = _layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps,
+                        cfg.ln_fp32).astype(compute_dtype)
 
         h = _apply_dense(lp["ffn_in"], x, compute_dtype)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(compute_dtype)
-        h = _apply_dense(lp["ffn_out"], h, compute_dtype)
+        if cfg.gelu_exact:
+            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+        else:
+            h = jax.nn.gelu(h, approximate=True)
+        h = _apply_dense(lp["ffn_out"], h.astype(compute_dtype), compute_dtype)
         if not deterministic:
             h = _dropout(rngs[3 * i + 3], h, cfg.hidden_dropout, deterministic)
-        x = _layer_norm(lp["ffn_ln"], x + h, cfg.layer_norm_eps).astype(compute_dtype)
+        x = _layer_norm(lp["ffn_ln"], x + h, cfg.layer_norm_eps,
+                        cfg.ln_fp32).astype(compute_dtype)
 
     return x
 

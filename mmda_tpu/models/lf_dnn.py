@@ -88,7 +88,8 @@ def lf_dnn_forward(
         hidden = jbert.bert_encode(
             params["bert"], bert_cfg, batch.bert_ids, batch.bert_mask,
             batch.bert_type, deterministic=deterministic, dropout_rng=r_bert,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            attn_impl=cfg.resolved_attn_impl())
         pooled_t = masked_mean(hidden.astype(jnp.float32), batch.bert_mask)
     else:
         emb = params["embed"][batch.text].astype(jnp.float32)

@@ -218,6 +218,7 @@ def misa_forward(
             params["bert"], bert_cfg, batch.bert_ids, batch.bert_mask,
             batch.bert_type, deterministic=deterministic, dropout_rng=r_bert,
             compute_dtype=compute_dtype,
+            attn_impl=cfg.resolved_attn_impl(),
         )
         utt_text = masked_mean(hidden.astype(jnp.float32), batch.bert_mask)
     else:

@@ -25,11 +25,15 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, scale: float):
-    """Grid: (batch*heads, q_blocks).  Blocks carry a leading singleton batch
-    dim: q (1, Bq, D), k/v (1, S, D), bias (1, S), o (1, Bq, D)."""
+    """Grid: (batch*heads, q_blocks).  q/k/v/o blocks carry a leading
+    singleton batch dim: q (1, Bq, D), k/v (1, S, D), o (1, Bq, D).  The bias
+    arrives as the FULL (BH, S) array (mosaic requires the last two block
+    dims tile-aligned or whole; a (1, S) block violates that at S=50) and is
+    indexed by the program id."""
     q = q_ref[0] * scale                              # (Bq, D)
     S = k_ref.shape[1]
     Bq, D = q.shape
+    bh = pl.program_id(0)
 
     m = jnp.full((Bq, 1), NEG_INF, jnp.float32)       # running max
     l = jnp.zeros((Bq, 1), jnp.float32)               # running denom
@@ -41,7 +45,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, scale: 
         m, l, acc = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :]  # (Bk, D)
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        b = bias_ref[0, pl.ds(i * block_k, block_k)]  # (Bk,)
+        b = bias_ref[bh, pl.ds(i * block_k, block_k)]  # (Bk,)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b[None, :]
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -83,7 +87,7 @@ def _flash_forward(q, k, v, bias, block_q: int = 128, block_k: int = 128):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk), lambda b, i: (b, 0),
+            pl.BlockSpec((BH, Sk), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),

@@ -100,6 +100,12 @@ class Trainer:
             num_test=len(data["test"]["lengths"]),
         )
 
+        if cfg.fast_rng and jax.default_backend() == "tpu":
+            # hardware PRNG for dropout masks: -1.15 ms/fwd vs threefry at the
+            # bench shape (benchmarks/RESULTS.md); must be set before any key
+            # in the TrainState is created
+            jax.config.update("jax_default_prng_impl", "rbg")
+
         self.mesh = None
         if use_mesh and (len(jax.devices()) > 1 or cfg.tp_size > 1):
             self.mesh = pmesh.make_mesh(dp=cfg.dp_size, tp=cfg.tp_size)
@@ -168,10 +174,12 @@ class Trainer:
                 rng=jax.device_put(self.state.rng, pmesh.replicated(self.mesh)),
             )
 
-        self.train_step = make_train_step(cfg, self.tx, self.forward_fn, self.bert_cfg)
+        self.train_step = make_train_step(cfg, self.tx, self.forward_fn,
+                                          self.bert_cfg, frozen=frozen)
         self.eval_step = make_eval_step(cfg, self.forward_fn, self.bert_cfg)
         self.epoch_step = (
-            make_train_epoch(cfg, self.tx, self.forward_fn, self.bert_cfg)
+            make_train_epoch(cfg, self.tx, self.forward_fn, self.bert_cfg,
+                             frozen=frozen)
             if cfg.compiled_epoch else None
         )
 
@@ -397,7 +405,7 @@ class Trainer:
         tx2 = make_optimizer(cfg, frozen)
         state = create_train_state(cfg, best_params, self.state.rng, frozen)
         step2 = make_train_step(cfg, tx2, self.forward_fn, self.bert_cfg,
-                                conf_only=True)
+                                conf_only=True, frozen=frozen)
         for e in range(cfg.n_epoch_stage2):
             conf_losses = []
             for batch in train_loader:

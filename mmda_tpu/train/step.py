@@ -55,6 +55,20 @@ def _sample_modality_keep(cfg: Config, rng, batch_size: int) -> Optional[jnp.nda
     return keep
 
 
+def _stop_frozen(params, frozen):
+    """stop_gradient on FROZEN leaves before the forward.  The optimizer mask
+    (optax set_to_zero) already discards their updates, but jax.grad would
+    still COMPUTE their weight-gradient GEMMs (dW = x^T dy, one per frozen
+    linear - ~1/3 of the BERT backward FLOPs under the mosei <=8 freeze rule,
+    src/solver.py:69-73).  Zeroing the grad path here lets XLA dead-code-
+    eliminate those GEMMs entirely; activation gradients still flow THROUGH
+    frozen layers to trainable params below (e.g. embeddings)."""
+    if frozen is None:
+        return params
+    return jax.tree_util.tree_map(
+        lambda p, f: jax.lax.stop_gradient(p) if f else p, params, frozen)
+
+
 def make_train_step(
     cfg: Config,
     tx: optax.GradientTransformation,
@@ -62,13 +76,17 @@ def make_train_step(
     bert_cfg: Optional[BertConfig] = None,
     donate: bool = True,
     conf_only: bool = False,
+    frozen: Optional[Any] = None,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """conf_only=True optimizes ONLY the ConfidNet confidence loss - stage 2
-    of two-stage ConfidNet training (backbone frozen by the optimizer mask)."""
+    of two-stage ConfidNet training (backbone frozen by the optimizer mask).
+    frozen: bool pytree matching params (True == frozen); prunes frozen
+    weight-grad computation from the backward (see _stop_frozen).  grad_norm
+    then measures trainable grads only."""
 
     def loss_fn(params, batch: Batch, rng, modality_keep):
         out = forward_fn(
-            params, cfg, batch, bert_cfg=bert_cfg,
+            _stop_frozen(params, frozen), cfg, batch, bert_cfg=bert_cfg,
             deterministic=False, rng=rng, modality_keep=modality_keep,
         )
         losses = compute_losses(cfg, out, batch)
@@ -99,6 +117,7 @@ def make_train_epoch(
     tx: optax.GradientTransformation,
     forward_fn: Callable,
     bert_cfg: Optional[BertConfig] = None,
+    frozen: Optional[Any] = None,
 ) -> Callable:
     """Compiled multi-step training: `lax.scan` over a stacked epoch of
     batches -> ONE dispatch for the whole epoch (no per-step host round trip;
@@ -108,7 +127,7 @@ def make_train_epoch(
 
     def loss_fn(params, batch: Batch, rng, modality_keep):
         out = forward_fn(
-            params, cfg, batch, bert_cfg=bert_cfg,
+            _stop_frozen(params, frozen), cfg, batch, bert_cfg=bert_cfg,
             deterministic=False, rng=rng, modality_keep=modality_keep,
         )
         losses = compute_losses(cfg, out, batch)

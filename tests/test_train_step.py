@@ -135,3 +135,44 @@ def test_modality_dropout_train_step_runs():
     batch = next(_batches(_data(cfg, n=16), 16))
     state, losses = step(state, batch)
     assert np.isfinite(float(losses["total"]))
+
+
+def test_frozen_stop_gradient_prunes_but_preserves_updates():
+    """The frozen-aware step (stop_gradient on frozen leaves, letting XLA DCE
+    their weight-grad GEMMs) must produce IDENTICAL updates to the mask-only
+    step for trainable params, and leave frozen params bit-identical."""
+    cfg = _cfg(use_bert=True, batch_size=8)
+    from mmda_tpu.models.bert import BertConfig, frozen_mask
+
+    bert_cfg = BertConfig.tiny(vocab_size=64)
+    init_fn, fwd_fn = get_model(cfg.model)
+    params = init_fn(jax.random.PRNGKey(0), cfg, bert_cfg=bert_cfg)
+    frozen = jax.tree_util.tree_map(lambda _: False, params)
+    frozen["bert"] = frozen_mask(params["bert"], max_frozen_layer=0)
+    tx = make_optimizer(cfg, frozen)
+
+    data = _data(cfg, n=8)
+    batch = next(_batches(data, 8))
+
+    s0 = create_train_state(cfg, params, jax.random.PRNGKey(1), frozen)
+    step_masked = make_train_step(cfg, tx, fwd_fn, bert_cfg, donate=False)
+    step_pruned = make_train_step(cfg, tx, fwd_fn, bert_cfg, donate=False,
+                                  frozen=frozen)
+    s_m, l_m = step_masked(s0, batch)
+    s_p, l_p = step_pruned(s0, batch)
+
+    np.testing.assert_allclose(float(l_m["total"]), float(l_p["total"]),
+                               rtol=1e-6)
+    # trainable params: identical updates
+    for tree_m, tree_p, f in zip(
+        jax.tree_util.tree_leaves(s_m.params),
+        jax.tree_util.tree_leaves(s_p.params),
+        jax.tree_util.tree_leaves(frozen),
+    ):
+        np.testing.assert_array_equal(np.asarray(tree_m), np.asarray(tree_p))
+    # frozen layer 0 params: bit-identical to init
+    np.testing.assert_array_equal(
+        np.asarray(s_p.params["bert"]["layers"][0]["q"]["kernel"]),
+        np.asarray(params["bert"]["layers"][0]["q"]["kernel"]))
+    # grad_norm under pruning reflects trainable grads only (smaller or equal)
+    assert float(l_p["grad_norm"]) <= float(l_m["grad_norm"]) + 1e-6
