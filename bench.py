@@ -56,6 +56,10 @@ def main():
     )
     bert_cfg = BertConfig.base()
 
+    # production kernel routing, mirroring Trainer (train/loop.py)
+    from mmda_tpu.ops import pallas as pallas_flags
+    pallas_flags.set_enabled(cfg.use_pallas and jax.default_backend() == "tpu")
+
     def make_batch(seed):
         split = make_split(SyntheticSpec(num_examples=B, max_len=T, seed=seed))
         # full-length rows: steady-state shape (worst-case padding)

@@ -31,6 +31,8 @@ def main(argv=None):
     from mmda_tpu.utils.metrics import get_accuracy, get_metrics
 
     cfg = get_config(argv=argv)
+    if cfg.device != "tpu":
+        jax.config.update("jax_platforms", cfg.device)
     data, pretrained_emb = load_data(cfg)
     split = data[cfg.mode if cfg.mode in data else "test"]
 

@@ -40,9 +40,14 @@ def main(argv=None):
         cfg = cfg.replace(log_sinks=tuple(cfg.log_sinks) + ("wandb",))
     print(cfg)
 
-    if cfg.debug_nans or cfg.disable_jit:
+    if cfg.device != "tpu" or cfg.debug_nans or cfg.disable_jit:
         import jax
 
+        if cfg.device != "tpu":
+            # the reference's --device picks the CUDA card (src/config.py);
+            # here it picks the JAX platform.  Env vars are NOT reliable for
+            # this under the axon sitecustomize - the config update is.
+            jax.config.update("jax_platforms", cfg.device)
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
         if cfg.disable_jit:

@@ -179,6 +179,8 @@ class Config:
     bert_model_dir: Optional[str] = None  # local HF bert-base-uncased dir (optional)
     max_seq_len: int = 64         # fixed text-length cap (bucketed; XLA static shapes)
     bucket_sizes: Tuple[int, ...] = (16, 32, 64)
+    prefetch: int = 2             # device-prefetch depth (data/loader.py);
+                                  # 0 = synchronous device_put in the consumer
     visual_size: int = 35         # MOSEI FACET default; overridden by DataMeta
     acoustic_size: int = 74       # MOSEI COVAREP default; overridden by DataMeta
     vocab_size: int = 32000
@@ -222,7 +224,10 @@ class Config:
                                   # scan_chunk steps run as ONE device dispatch
                                   # (removes per-step host round trips)
     scan_chunk: int = 8
-    use_pallas: bool = False      # fused Pallas LSTM kernel (XLA scan fallback).
+    use_pallas: bool = True       # fused Pallas LSTM recurrence kernel for the
+                                  # towers (TPU only; XLA scan elsewhere).
+                                  # Measured 1.9x tower-pair fwd+bwd vs the
+                                  # round-1 scans (benchmarks/bench_towers.py).
                                   # Off by default: TPU microbenchmarks
                                   # (benchmarks/bench_kernels.py) show mixed
                                   # wins at MOSEI sizes; enable per-run.

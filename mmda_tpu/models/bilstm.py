@@ -185,12 +185,117 @@ def _scan_direction(p, x, mask, cell: str, reverse: bool,
     return jnp.swapaxes(ys, 0, 1), hT            # (B, T, H), (B, H)
 
 
+# When True, the fused scan body is wrapped in jax.checkpoint: the backward
+# pass recomputes the gates from the (h, c) carries instead of loading the
+# saved per-step gate activations from HBM — the same trade the Pallas
+# kernel's BPTT makes.  Measured on TPU (benchmarks/bench_towers.py): 1.714
+# vs 1.663 ms tower-pair fwd+bwd — scan-bwd saves are NOT the cost, so the
+# default is off (kept as a testing/ablation hook).
+_SCAN_REMAT = False
+
+
+def set_scan_remat(value: bool) -> None:
+    global _SCAN_REMAT
+    _SCAN_REMAT = bool(value)
+
+
+def _birnn_fused(params: Dict, x: jnp.ndarray, mask: jnp.ndarray, cell: str):
+    """Both directions in ONE lax.scan.
+
+    TPU rationale: under lax.scan each timestep's recurrence matmul is tiny
+    ((B,H)x(H,4H) with H=35/74) and the step cost is dominated by fixed
+    per-iteration overhead, not FLOPs.  Running fwd+bwd as a leading batch
+    dim of 2 (reverse direction on time-flipped inputs, so both advance
+    t=0..T-1 together) halves the sequential step count; the two input
+    projections merge into one (B*T, F) x (F, 2*4H) MXU matmul.
+
+    Equivalence with the two-scan path: flipping x and mask along T and
+    scanning forward is exactly the reverse scan — masked (padded) steps sit
+    at the front of the flipped sequence where they hold the zero carry, so
+    finals and per-step outputs match (tests/test_bilstm.py).
+    """
+    B, T, _ = x.shape
+    H = params["fwd"]["w_hh"].shape[1]
+    f32 = jnp.float32
+    ngates = 4 if cell == "lstm" else 3
+    G = ngates * H
+
+    w_ih = jnp.concatenate(
+        [params["fwd"]["w_ih"], params["bwd"]["w_ih"]], axis=0)     # (2G, F)
+    b_ih = jnp.concatenate(
+        [params["fwd"]["b_ih"], params["bwd"]["b_ih"]], axis=0)     # (2G,)
+    if cell == "lstm":
+        b_ih = b_ih + jnp.concatenate(
+            [params["fwd"]["b_hh"], params["bwd"]["b_hh"]], axis=0)
+    xp = jnp.dot(
+        x.reshape(B * T, -1), w_ih.T.astype(x.dtype),
+        preferred_element_type=f32,
+    ).reshape(B, T, 2, G) + b_ih.astype(f32).reshape(2, G)
+    xp = jnp.transpose(xp, (1, 2, 0, 3))                            # (T, 2, B, G)
+    m = jnp.swapaxes(mask, 0, 1)[:, None, :, None].astype(f32)      # (T, 1, B, 1)
+    xp = jnp.concatenate(
+        [xp[:, :1], jnp.flip(xp[:, 1:], axis=0)], axis=1)           # flip bwd dir
+    m = jnp.concatenate([m, jnp.flip(m, axis=0)], axis=1)           # (T, 2, B, 1)
+    w_hh_t = jnp.stack(
+        [params["fwd"]["w_hh"].T, params["bwd"]["w_hh"].T]).astype(f32)  # (2, H, G)
+
+    # batched (2,B,H) x (2,H,G) -> (2,B,G)
+    dn = (((2,), (1,)), ((0,), (0,)))
+
+    maybe_remat = jax.checkpoint if _SCAN_REMAT else (lambda f: f)
+
+    h0 = jnp.zeros((2, B, H), f32)
+    if cell == "lstm":
+        @maybe_remat
+        def step(carry, inp):
+            h, c = carry
+            xpt, mm = inp
+            gates = xpt + jax.lax.dot_general(
+                h, w_hh_t, dn, preferred_element_type=f32)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            g = jnp.tanh(g)
+            o = jax.nn.sigmoid(o)
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            h = mm * h_new + (1.0 - mm) * h
+            c = mm * c_new + (1.0 - mm) * c
+            return (h, c), h
+
+        (hT, _), ys = jax.lax.scan(step, (h0, jnp.zeros((2, B, H), f32)), (xp, m))
+    else:
+        b_hh = jnp.stack(
+            [params["fwd"]["b_hh"], params["bwd"]["b_hh"]]).astype(f32)[:, None, :]
+
+        @maybe_remat
+        def step(h, inp):
+            xpt, mm = inp
+            hh = jax.lax.dot_general(
+                h, w_hh_t, dn, preferred_element_type=f32) + b_hh
+            xr, xz, xn = jnp.split(xpt, 3, axis=-1)
+            hr, hz, hn = jnp.split(hh, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h
+            h = mm * h_new + (1.0 - mm) * h
+            return h, h
+
+        hT, ys = jax.lax.scan(step, h0, (xp, m))
+
+    ys_f = jnp.swapaxes(ys[:, 0], 0, 1)                             # (B, T, H)
+    ys_b = jnp.swapaxes(jnp.flip(ys[:, 1], axis=0), 0, 1)
+    return ys_f, ys_b, hT[0], hT[1]
+
+
 def birnn(
     params: Dict,
     x: jnp.ndarray,
     lengths: jnp.ndarray,
     cell: str = "lstm",
     zero_masked_outputs: bool = True,
+    fused: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bidirectional masked RNN.
 
@@ -198,6 +303,8 @@ def birnn(
       params: {'fwd': {...}, 'bwd': {...}} from `rnn_params`.
       x: (B, T, F) padded inputs.
       lengths: (B,) true lengths.
+      fused: run both directions in one lax.scan (default: yes, unless the
+        Pallas kernel path is enabled, which owns its own scan).
     Returns:
       outputs: (B, T, 2H) [fwd; bwd] per timestep (zeros at pads when
         zero_masked_outputs, matching pad_packed_sequence).
@@ -205,8 +312,15 @@ def birnn(
     """
     B, T, _ = x.shape
     mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
-    ys_f, h_f = _scan_direction(params["fwd"], x, mask, cell, reverse=False)
-    ys_b, h_b = _scan_direction(params["bwd"], x, mask, cell, reverse=True)
+    if fused is None:
+        from mmda_tpu.ops import pallas as pallas_flags
+
+        fused = not pallas_flags.is_enabled()
+    if fused:
+        ys_f, ys_b, h_f, h_b = _birnn_fused(params, x, mask, cell)
+    else:
+        ys_f, h_f = _scan_direction(params["fwd"], x, mask, cell, reverse=False)
+        ys_b, h_b = _scan_direction(params["bwd"], x, mask, cell, reverse=True)
     ys = jnp.concatenate([ys_f, ys_b], axis=-1)
     if zero_masked_outputs:
         ys = ys * mask[..., None]
@@ -249,3 +363,76 @@ def extract_features(
     h1_f, h1_b = h1[:, :H], h1[:, H:]
     h2_f, h2_b = h2[:, :H], h2[:, H:]
     return jnp.concatenate([h1_f, h2_f, h1_b, h2_b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Two-tower extraction through the multi-direction Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def extract_features_pair(
+    params_v: Dict,
+    params_a: Dict,
+    xv: jnp.ndarray,
+    xa: jnp.ndarray,
+    lengths_v: jnp.ndarray,
+    lengths_a: jnp.ndarray,
+    cell: str = "lstm",
+    use_pallas_multi: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extract the visual and acoustic utterance vectors together.
+
+    With use_pallas_multi, ALL four directional recurrences of each stacked
+    layer run in ONE lane-padded kernel launch (ops/pallas/lstm_multi.py) —
+    2 launches replace 8 sequential scans.  Measured on TPU
+    (benchmarks/bench_towers.py, MOSEI sizes): 1.449 ms tower-pair fwd+bwd vs
+    1.295 ms for the per-direction kernel at raw H (ops/pallas/lstm.py) — the
+    HP=128 padding FLOPs and the padded dx/ys/cs HBM traffic outweigh the
+    launch savings, so this path is MEASURED-REJECTED as a default and kept
+    reachable for re-evaluation at larger hidden sizes.  The default routes
+    through `extract_features`, whose scans use the winning per-direction
+    kernel when cfg.use_pallas is on (TPU) and the fused-direction XLA scan
+    elsewhere.
+    """
+    if use_pallas_multi is None:
+        use_pallas_multi = False
+    if (not use_pallas_multi) or cell != "lstm" or xv.shape[:2] != xa.shape[:2]:
+        return (
+            extract_features(params_v, xv, lengths_v, cell),
+            extract_features(params_a, xa, lengths_a, cell),
+        )
+
+    from mmda_tpu.ops.pallas import lstm_multi as lm
+
+    B, T, _ = xv.shape
+    mv = (jnp.arange(T)[None, :] < lengths_v[:, None]).astype(jnp.float32)
+    ma = (jnp.arange(T)[None, :] < lengths_a[:, None]).astype(jnp.float32)
+    reverses = [False, True, False, True]
+
+    def run_layer(pv, pa, inp_v, inp_a):
+        dirs = [
+            (pv["fwd"], inp_v, mv, False), (pv["bwd"], inp_v, mv, True),
+            (pa["fwd"], inp_a, ma, False), (pa["bwd"], inp_a, ma, True),
+        ]
+        ops, hs = lm.pack_directions(dirs)
+        ys, h_fin = lm.lstm_scan_multi(*ops)
+        outs, finals = lm.unpack_outputs(ys, h_fin, hs, reverses)
+        ys_v = jnp.concatenate([outs[0], outs[1]], axis=-1) * mv[..., None]
+        ys_a = jnp.concatenate([outs[2], outs[3]], axis=-1) * ma[..., None]
+        h_v = jnp.concatenate([finals[0], finals[1]], axis=-1)
+        h_a = jnp.concatenate([finals[2], finals[3]], axis=-1)
+        return ys_v, ys_a, h_v, h_a
+
+    ys1_v, ys1_a, h1_v, h1_a = run_layer(
+        params_v["rnn1"], params_a["rnn1"], xv, xa)
+    ys1_v = layer_norm(params_v["ln"], ys1_v)
+    ys1_a = layer_norm(params_a["ln"], ys1_a)
+    _, _, h2_v, h2_a = run_layer(
+        params_v["rnn2"], params_a["rnn2"], ys1_v, ys1_a)
+
+    def utterance(h1, h2):
+        H = h1.shape[-1] // 2
+        return jnp.concatenate(
+            [h1[:, :H], h2[:, :H], h1[:, H:], h2[:, H:]], axis=-1)
+
+    return utterance(h1_v, h2_v), utterance(h1_a, h2_a)

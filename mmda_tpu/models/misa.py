@@ -230,8 +230,18 @@ def misa_forward(
     # ---- visual / acoustic towers ----------------------------------------
     v_len = batch.visual_lengths if batch.visual_lengths is not None else batch.lengths
     a_len = batch.acoustic_lengths if batch.acoustic_lengths is not None else batch.lengths
-    utt_video = tower_extract(params["visual_extractor"], cfg, visual, v_len)
-    utt_audio = tower_extract(params["acoustic_extractor"], cfg, acoustic, a_len)
+    if cfg.extractor == "transformer":
+        utt_video = tower_extract(params["visual_extractor"], cfg, visual, v_len)
+        utt_audio = tower_extract(params["acoustic_extractor"], cfg, acoustic, a_len)
+    else:
+        # both RNN towers through one path: with cfg.use_pallas on (TPU) the
+        # recurrences run in the fused per-direction Pallas kernel, otherwise
+        # in the fused-direction XLA scan (both measured winners,
+        # benchmarks/bench_towers.py)
+        utt_video, utt_audio = bilstm.extract_features_pair(
+            params["visual_extractor"], params["acoustic_extractor"],
+            visual, acoustic, v_len, a_len, cfg.rnncell,
+        )
 
     # ---- shared/private (src/models.py:265-279) ---------------------------
     def project(p, x):

@@ -115,6 +115,11 @@ def _bwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
         dh = dh + dys_ref[t]
         m = mask_ref[t]                   # (B, 1)
 
+        # jnp.where evaluates BOTH branches: prev_t must be clamped in range
+        # or the boundary step reads ys_ref[-1]/ys_ref[T] out of bounds —
+        # on real hardware that is a kernel fault that kills the TPU worker
+        # (interpret mode silently wraps, which is why CPU tests pass).
+        prev_t = jnp.clip(prev_t, 0, T - 1)
         h_prev = jnp.where(first, jnp.zeros((B, H), jnp.float32), ys_ref[prev_t])
         c_prev = jnp.where(first, jnp.zeros((B, H), jnp.float32), cs_ref[prev_t])
 

@@ -200,6 +200,7 @@ class Trainer:
             bucket_sizes=self.cfg.bucket_sizes,
             seed=self.cfg.seed,
             mesh=self.mesh,
+            prefetch=self.cfg.prefetch,
         )
 
     # ------------------------------------------------------------------

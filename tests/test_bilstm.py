@@ -126,3 +126,30 @@ def test_birnn_is_jittable_and_grad_flows():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+@pytest.mark.parametrize("cell", ["lstm", "gru"])
+def test_fused_birnn_matches_two_scan_path(cell):
+    """The single-scan fused-direction path must match the two-scan path
+    (values AND grads) — it is the default production path."""
+    p = bilstm.rnn_params(jax.random.PRNGKey(3), 9, 6, cell)
+    x = jnp.array(RNG.normal(size=(4, 11, 9)).astype(np.float32))
+    lengths = jnp.array([11, 7, 1, 5])
+
+    ys_ref, h_ref = bilstm.birnn(p, x, lengths, cell, fused=False)
+    ys_fused, h_fused = bilstm.birnn(p, x, lengths, cell, fused=True)
+    np.testing.assert_allclose(np.asarray(ys_fused), np.asarray(ys_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(p, fused):
+        ys, h = bilstm.birnn(p, x, lengths, cell, fused=fused)
+        return jnp.sum(ys**2) + jnp.sum(h * h[::-1])
+
+    g_ref = jax.grad(loss)(p, False)
+    g_fused = jax.grad(loss)(p, True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        g_fused, g_ref)

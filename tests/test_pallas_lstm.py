@@ -66,3 +66,54 @@ def test_full_birnn_with_pallas_matches():
         flags.set_enabled(False)
     np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Lane-padded multi-direction kernel (ops/pallas/lstm_multi.py, round 2)
+# ---------------------------------------------------------------------------
+
+
+def test_multi_kernel_matches_pair_fallback():
+    """extract_features_pair via the multi kernel == two extract_features."""
+    kv, ka = jax.random.split(jax.random.PRNGKey(7))
+    pv = bilstm.extractor_params(kv, 5, 5, "lstm")
+    pa = bilstm.extractor_params(ka, 9, 9, "lstm")
+    B, T = 4, 6
+    xv = jnp.array(RNG.normal(size=(B, T, 5)).astype(np.float32))
+    xa = jnp.array(RNG.normal(size=(B, T, 9)).astype(np.float32))
+    lv = jnp.array([6, 2, 4, 1])
+    la = jnp.array([3, 6, 1, 5])
+
+    want_v, want_a = bilstm.extract_features_pair(
+        pv, pa, xv, xa, lv, la, use_pallas_multi=False)
+    got_v, got_a = bilstm.extract_features_pair(
+        pv, pa, xv, xa, lv, la, use_pallas_multi=True)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_multi_kernel_grads_match_fallback():
+    kv, ka = jax.random.split(jax.random.PRNGKey(8))
+    pv = bilstm.extractor_params(kv, 5, 5, "lstm")
+    pa = bilstm.extractor_params(ka, 7, 7, "lstm")
+    B, T = 3, 5
+    xv = jnp.array(RNG.normal(size=(B, T, 5)).astype(np.float32))
+    xa = jnp.array(RNG.normal(size=(B, T, 7)).astype(np.float32))
+    lv = jnp.array([5, 2, 3])
+    la = jnp.array([4, 5, 1])
+
+    def loss(params, use_multi):
+        v, a = bilstm.extract_features_pair(
+            params["v"], params["a"], xv, xa, lv, la,
+            use_pallas_multi=use_multi)
+        return jnp.sum(v**2) + jnp.sum(jnp.tanh(a))
+
+    params = {"v": pv, "a": pa}
+    g_ref = jax.grad(loss)(params, False)
+    g_multi = jax.grad(loss)(params, True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        g_multi, g_ref)

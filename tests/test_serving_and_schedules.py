@@ -110,3 +110,92 @@ def test_trainer_plateau_runs(tmp_path):
     tr = Trainer(cfg, data, use_mesh=False)
     summary = tr.train()
     assert np.isfinite(summary["test_loss"])
+
+
+# ---------------------------------------------------------------------------
+# PredictionServer (serving_server.py): queueing / micro-batching / timeouts
+# ---------------------------------------------------------------------------
+
+
+def _make_request(L):
+    return {
+        "text": RNG.integers(2, 64, size=L).astype(np.int32),
+        "visual": RNG.normal(size=(L, 5)).astype(np.float32),
+        "acoustic": RNG.normal(size=(L, 6)).astype(np.float32),
+        "bert_ids": RNG.integers(3, 64, size=L + 2).astype(np.int32),
+        "bert_type": np.zeros(L + 2, np.int32),
+        "bert_mask": np.ones(L + 2, np.int32),
+    }
+
+
+def _make_server(max_wait_ms=20.0, **kw):
+    from mmda_tpu.serving_server import PredictionServer
+
+    cfg = _cfg()
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    pred = Predictor(cfg, params=params, max_batch=8)
+    return PredictionServer(pred, max_wait_ms=max_wait_ms, **kw), pred
+
+
+def test_server_batches_and_matches_direct_calls():
+    server, pred = _make_server()
+    reqs = [_make_request(3) for _ in range(5)]
+    futs = [server.submit(r) for r in reqs]
+    got = [f.result(timeout=60) for f in futs]
+    want = pred(reqs)
+    for i, g in enumerate(got):
+        np.testing.assert_allclose(g["scores"], want["scores"][i],
+                                   rtol=1e-5, atol=1e-6)
+        assert g["scores"].shape == (6,)
+    server.close()
+
+
+def test_server_concurrent_submitters_and_bucket_grouping():
+    import threading
+
+    server, _ = _make_server()
+    results = {}
+
+    def client(i, L):
+        results[i] = server.predict(_make_request(L), timeout_s=60)
+
+    threads = [threading.Thread(target=client, args=(i, 3 if i % 2 else 7))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 8
+    for r in results.values():
+        assert np.isfinite(r["scores"]).all()
+    server.close()
+
+
+def test_server_timeout_and_close():
+    server, _ = _make_server()
+    # a deadline in the past must surface as TimeoutError, not wedge the queue
+    fut = server.submit(_make_request(3), timeout_s=-1.0)
+    try:
+        fut.result(timeout=60)
+        raised = False
+    except TimeoutError:
+        raised = True
+    assert raised
+    # the queue still works afterwards
+    ok = server.predict(_make_request(3), timeout_s=60)
+    assert np.isfinite(ok["scores"]).all()
+    server.close()
+    try:
+        server.submit(_make_request(3))
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
+
+
+def test_server_warmup_compiles_buckets():
+    server, pred = _make_server()
+    server.warmup()
+    assert pred.stats["requests"] >= 2  # one per bucket (4, 8)
+    server.close()
