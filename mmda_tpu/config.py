@@ -164,6 +164,12 @@ class Config:
                                       # src/models.py:144-147): learned label
                                       # embeddings attend over the 6 fused
                                       # shared/private tokens
+    # MulT family (models/mult.py; only read when model == "MULT")
+    mult_d: int = 40              # common cross-modal dim (paper: 30-40)
+    mult_layers: int = 4          # cross-modal stack depth
+    mult_heads: int = 5           # attention heads (must divide mult_d, and
+                                  # hence 2*mult_d for the self stacks)
+    mult_conv_kernel: int = 3     # temporal conv width of the projections
     task: str = "auto"            # auto|classification|regression|binary
                                   # auto: mosei/synthetic -> 6-way multilabel
                                   # classification; mosi -> sentiment regression
@@ -294,6 +300,9 @@ class Config:
         if self.attn_impl not in ("xla", "fused", "flash"):
             raise ValueError(
                 f"attn_impl must be xla|fused|flash, got {self.attn_impl!r}")
+        if self.mult_d % self.mult_heads != 0:
+            raise ValueError(
+                f"mult_heads={self.mult_heads} must divide mult_d={self.mult_d}")
         if self.lr_schedule not in ("none", "exponential", "plateau"):
             raise ValueError(f"bad lr_schedule {self.lr_schedule!r}")
 

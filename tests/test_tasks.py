@@ -143,3 +143,89 @@ def test_missing_modality_eval(tmp_path):
     tr = Trainer(cfg, _data(), use_mesh=False)
     summary = tr.train()
     assert np.isfinite(summary["test_loss"])
+
+
+def test_mult_model_family(tmp_path):
+    """Fourth registry entry: MulT cross-modal transformer trains end-to-end,
+    aligned and unaligned (its raison d'etre)."""
+    cfg = _cfg(data="mosei", name="mult", ckpt_dir=str(tmp_path),
+               model="MULT", n_epoch=2, mult_d=8, mult_heads=2, mult_layers=2,
+               learning_rate=1e-3)
+    tr = Trainer(cfg, _data(), use_mesh=False)
+    summary = tr.train()
+    assert np.isfinite(summary["test_loss"])
+    hist = summary["history"]
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+    assert hist[0]["train_diff"] == 0.0       # MISA-only losses inert
+
+    # unaligned: per-modality lengths differ and no word alignment exists
+    data_u = make_dataset(num_train=32, num_dev=16, num_test=16, max_len=8,
+                          visual_size=5, acoustic_size=6, vocab_size=64,
+                          bert_vocab_size=64, aligned=False)
+    cfg2 = _cfg(data="mosei", name="multu", ckpt_dir=str(tmp_path),
+                model="MULT", n_epoch=1, mult_d=8, mult_heads=2, mult_layers=2)
+    summary2 = Trainer(cfg2, data_u, use_mesh=False).train()
+    assert np.isfinite(summary2["test_loss"])
+
+
+def test_mult_forward_properties():
+    """Direct forward contracts: shapes, determinism, padding invariance,
+    modality zeroing."""
+    import jax
+    import jax.numpy as jnp
+    from mmda_tpu.models import Batch, get_model
+
+    cfg = _cfg(model="MULT", mult_d=8, mult_heads=2, mult_layers=2)
+    init_fn, fwd_fn = get_model("MULT")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, T = 4, 8
+    batch = Batch(
+        text=jnp.asarray(rng.integers(2, 64, size=(B, T)), jnp.int32),
+        visual=jnp.asarray(rng.normal(size=(B, T, 5)), jnp.float32),
+        acoustic=jnp.asarray(rng.normal(size=(B, T, 6)), jnp.float32),
+        lengths=jnp.asarray([8, 5, 3, 1], jnp.int32),
+        bert_ids=jnp.zeros((B, T + 2), jnp.int32),
+        bert_type=jnp.zeros((B, T + 2), jnp.int32),
+        bert_mask=jnp.ones((B, T + 2), jnp.int32),
+        sentiment=jnp.zeros((B,), jnp.float32),
+        emo_label=jnp.zeros((B, 6), jnp.float32),
+        sample_weight=jnp.ones((B,), jnp.float32),
+    )
+    out = fwd_fn(params, cfg, batch)
+    assert out.scores.shape == (B, 6)
+    assert np.isfinite(np.asarray(out.scores)).all()
+    assert out.shared_t is None                      # MISA losses skip
+
+    # deterministic eval is reproducible
+    out2 = fwd_fn(params, cfg, batch)
+    np.testing.assert_allclose(np.asarray(out.scores), np.asarray(out2.scores))
+
+    # padding invariance: garbage beyond each row's length must not matter
+    vis2 = np.asarray(batch.visual).copy()
+    vis2[1, 5:] = 99.0                               # row 1 has length 5
+    txt2 = np.asarray(batch.text).copy()
+    txt2[1, 5:] = 3
+    batch2 = batch._replace(visual=jnp.asarray(vis2), text=jnp.asarray(txt2))
+    out3 = fwd_fn(params, cfg, batch2)
+    np.testing.assert_allclose(np.asarray(out.scores), np.asarray(out3.scores),
+                               rtol=1e-5, atol=1e-5)
+
+    # zeroed modalities change nothing when keep=1, something when keep=0
+    keep = jnp.ones((B, 3), jnp.float32)
+    out4 = fwd_fn(params, cfg, batch, modality_keep=keep)
+    np.testing.assert_allclose(np.asarray(out.scores), np.asarray(out4.scores),
+                               rtol=1e-6)
+    keep0 = keep.at[:, 1].set(0.0)
+    out5 = fwd_fn(params, cfg, batch, modality_keep=keep0)
+    assert np.abs(np.asarray(out5.scores) - np.asarray(out.scores)).max() > 1e-6
+
+    # grads flow into every stack
+    def loss(p):
+        o = fwd_fn(p, cfg, batch, deterministic=False, rng=jax.random.PRNGKey(1))
+        return jnp.sum(o.scores ** 2)
+    g = jax.grad(loss)(params)
+    for name in ("proj_t", "cross_tv", "cross_av", "self_t", "out"):
+        total = sum(float(np.abs(np.asarray(l)).sum())
+                    for l in jax.tree_util.tree_leaves(g[name]))
+        assert total > 0, name
