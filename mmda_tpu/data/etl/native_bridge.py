@@ -62,6 +62,21 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
     ]
+    lib.wordpiece_new.restype = ctypes.c_void_p
+    lib.wordpiece_new.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
+    ]
+    lib.wordpiece_free.restype = None
+    lib.wordpiece_free.argtypes = [ctypes.c_void_p]
+    lib.wordpiece_encode_batch.restype = ctypes.c_longlong
+    lib.wordpiece_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib_cache = lib
     return lib
 
@@ -112,3 +127,46 @@ def pack_floats(lib: ctypes.CDLL, feats_list, max_len: int, znorm: bool):
         _ptr(flat, ctypes.c_float), _ptr(offsets, ctypes.c_longlong),
         n, max_len, dim, int(znorm), _ptr(out, ctypes.c_float))
     return out
+
+
+class WordPieceHandle:
+    """Owns a C++ vocab map (native/mmda_native.cc::wordpiece_new)."""
+
+    def __init__(self, lib: ctypes.CDLL, vocab: Dict[str, int]):
+        self._lib = lib
+        entries = list(vocab.items())
+        blob = b"".join(w.encode("utf-8") for w, _ in entries)
+        offsets = np.zeros(len(entries) + 1, np.int64)
+        for i, (w, _) in enumerate(entries):
+            offsets[i + 1] = offsets[i] + len(w.encode("utf-8"))
+        ids = np.asarray([i for _, i in entries], np.int32)
+        self._handle = lib.wordpiece_new(
+            blob, _ptr(offsets, ctypes.c_longlong),
+            _ptr(ids, ctypes.c_int32), len(entries))
+
+    def encode_batch(self, texts, max_length: int, lowercase: bool,
+                     unk: int, cls: int, sep: int, pad: int):
+        """Returns (ids (n, L) int32, mask (n, L) int32, fallback (n,) bool).
+        Rows flagged in `fallback` contain non-ASCII text and were NOT
+        encoded - the caller must run the Python path for them."""
+        raw = [t.encode("utf-8") for t in texts]
+        blob = b"".join(raw)
+        offsets = np.zeros(len(raw) + 1, np.int64)
+        for i, b in enumerate(raw):
+            offsets[i + 1] = offsets[i] + len(b)
+        out_ids = np.empty((len(raw), max_length), np.int32)
+        out_mask = np.empty((len(raw), max_length), np.int32)
+        fallback = np.zeros(len(raw), np.uint8)
+        self._lib.wordpiece_encode_batch(
+            self._handle, blob, _ptr(offsets, ctypes.c_longlong),
+            len(raw), max_length, int(lowercase),
+            unk, cls, sep, pad,
+            _ptr(out_ids, ctypes.c_int32), _ptr(out_mask, ctypes.c_int32),
+            _ptr(fallback, ctypes.c_uint8))
+        return out_ids, out_mask, fallback.astype(bool)
+
+    def __del__(self):
+        try:
+            self._lib.wordpiece_free(self._handle)
+        except Exception:
+            pass

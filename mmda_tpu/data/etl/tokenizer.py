@@ -50,7 +50,7 @@ def _clean(text: str) -> str:
 
 class WordPieceTokenizer:
     def __init__(self, vocab: Dict[str, int], lowercase: bool = True,
-                 max_chars_per_word: int = 100):
+                 max_chars_per_word: int = 100, use_native: bool = True):
         self.vocab = vocab
         self.lowercase = lowercase
         self.max_chars = max_chars_per_word
@@ -58,6 +58,8 @@ class WordPieceTokenizer:
         self.cls = vocab.get("[CLS]", 101)
         self.sep = vocab.get("[SEP]", 102)
         self.pad = vocab.get("[PAD]", 0)
+        self.use_native = use_native
+        self._native = None       # lazily-built C++ vocab handle
 
     @staticmethod
     def from_vocab_file(path: str) -> "WordPieceTokenizer":
@@ -139,12 +141,35 @@ class WordPieceTokenizer:
         types = np.zeros(max_length, np.int32)
         return input_ids, types, mask
 
+    def _native_handle(self):
+        if self._native is None and self.use_native and self.max_chars == 100:
+            from mmda_tpu.data.etl import native_bridge
+
+            lib = native_bridge.load()
+            if lib is not None:
+                self._native = native_bridge.WordPieceHandle(lib, self.vocab)
+            else:
+                self.use_native = False
+        return self._native
+
     def encode_batch(self, texts: List[str], max_length: int):
-        out_ids = np.empty((len(texts), max_length), np.int32)
+        """Batch encode.  ASCII rows go through the C++ fast path
+        (native/mmda_native.cc::wordpiece_encode_batch, byte-exact parity
+        tested in tests/test_native_wordpiece.py); rows with non-ASCII text
+        fall back to the full-Unicode Python path per row."""
         out_types = np.zeros((len(texts), max_length), np.int32)
+        handle = self._native_handle()
+        if handle is not None and texts:
+            out_ids, out_mask, fallback = handle.encode_batch(
+                texts, max_length, self.lowercase,
+                self.unk, self.cls, self.sep, self.pad)
+            for i in np.nonzero(fallback)[0]:
+                out_ids[i], _, out_mask[i] = self.encode(texts[i], max_length)
+            return out_ids, out_types, out_mask
+        out_ids = np.empty((len(texts), max_length), np.int32)
         out_mask = np.empty((len(texts), max_length), np.int32)
         for i, t in enumerate(texts):
-            out_ids[i], out_types[i], out_mask[i] = self.encode(t, max_length)
+            out_ids[i], _, out_mask[i] = self.encode(t, max_length)
         return out_ids, out_types, out_mask
 
 

@@ -167,3 +167,157 @@ void pack_floats(const float* feats, const long long* offsets,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// 4. WordPiece encoder (ASCII fast path)
+// ---------------------------------------------------------------------------
+// The reference's tokenizer is HF's (Rust-backed); our ETL/serving equivalent
+// is data/etl/tokenizer.py.  This is its C++ hot path: rows that are pure
+// ASCII (all of MOSI/MOSEI transcripts) are encoded here with byte-exact
+// parity to the Python implementation; rows containing any byte >= 0x80 are
+// flagged for the Python fallback (full-Unicode handling needs unicodedata).
+//
+// Handle-based API: build the vocab map once, encode many batches.
+
+namespace {
+
+struct WordPieceVocab {
+  std::unordered_map<std::string, int32_t> map;
+};
+
+inline bool ascii_punct(unsigned char c) {
+  return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+         (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+}  // namespace
+
+extern "C" {
+
+// vocab_blob: concatenated UTF-8 vocab entries; offsets: (n+1) byte offsets;
+// ids: (n) token id of each entry.  Returns an opaque handle.
+void* wordpiece_new(const char* vocab_blob, const long long* offsets,
+                    const int32_t* ids, long long n) {
+  auto* v = new WordPieceVocab();
+  v->map.reserve(static_cast<size_t>(n) * 2);
+  for (long long i = 0; i < n; ++i) {
+    v->map.emplace(std::string(vocab_blob + offsets[i],
+                               vocab_blob + offsets[i + 1]),
+                   ids[i]);
+  }
+  return v;
+}
+
+void wordpiece_free(void* handle) {
+  delete static_cast<WordPieceVocab*>(handle);
+}
+
+// texts: concatenated raw rows; text_offsets: (n+1) byte offsets.
+// out_ids/out_mask: (n x max_len) int32, fully written for handled rows.
+// fallback: (n) uint8, set to 1 when the row contains non-ASCII bytes and was
+// NOT encoded (caller must run the Python path for it).  Returns number of
+// rows handled natively.
+long long wordpiece_encode_batch(
+    void* handle, const char* texts, const long long* text_offsets,
+    long long n, long long max_len, int lowercase,
+    int32_t unk_id, int32_t cls_id, int32_t sep_id, int32_t pad_id,
+    int32_t* out_ids, int32_t* out_mask, unsigned char* fallback) {
+  const auto& vocab = static_cast<WordPieceVocab*>(handle)->map;
+  const long long max_chars_per_word = 100;
+  long long handled = 0;
+  std::string cleaned, sub;
+  std::vector<std::string> words;
+  std::vector<int32_t> ids;
+
+  for (long long r = 0; r < n; ++r) {
+    const char* s = texts + text_offsets[r];
+    const long long len = text_offsets[r + 1] - text_offsets[r];
+    int32_t* row_ids = out_ids + r * max_len;
+    int32_t* row_mask = out_mask + r * max_len;
+
+    bool ascii = true;
+    for (long long i = 0; i < len; ++i) {
+      if (static_cast<unsigned char>(s[i]) >= 0x80) { ascii = false; break; }
+    }
+    if (!ascii) { fallback[r] = 1; continue; }
+    fallback[r] = 0;
+    ++handled;
+
+    // _clean + lowercase: controls dropped, \t\n\r/space -> space
+    cleaned.clear();
+    for (long long i = 0; i < len; ++i) {
+      unsigned char c = static_cast<unsigned char>(s[i]);
+      if (c == '\t' || c == '\n' || c == '\r' || c == ' ') {
+        cleaned.push_back(' ');
+      } else if (c < 0x20 || c == 0x7F) {
+        continue;  // ASCII control chars (category Cc)
+      } else {
+        cleaned.push_back(
+            (lowercase && c >= 'A' && c <= 'Z') ? (c - 'A' + 'a') : c);
+      }
+    }
+
+    // whitespace split + punctuation split (ASCII: category-P additions and
+    // NFD accent stripping are no-ops)
+    words.clear();
+    std::string cur;
+    auto flush = [&]() { if (!cur.empty()) { words.push_back(cur); cur.clear(); } };
+    for (char ch : cleaned) {
+      if (ch == ' ') {
+        flush();
+      } else if (ascii_punct(static_cast<unsigned char>(ch))) {
+        flush();
+        words.emplace_back(1, ch);
+      } else {
+        cur.push_back(ch);
+      }
+    }
+    flush();
+
+    // greedy longest-match wordpiece
+    ids.clear();
+    for (const std::string& w : words) {
+      if (static_cast<long long>(w.size()) > max_chars_per_word) {
+        ids.push_back(unk_id);
+        continue;
+      }
+      size_t start = 0;
+      size_t before = ids.size();
+      bool ok = true;
+      while (start < w.size()) {
+        size_t end = w.size();
+        int32_t found = -1;
+        while (start < end) {
+          sub.assign(start > 0 ? "##" : "");
+          sub.append(w, start, end - start);
+          auto it = vocab.find(sub);
+          if (it != vocab.end()) { found = it->second; break; }
+          --end;
+        }
+        if (found < 0) { ok = false; break; }
+        ids.push_back(found);
+        start = end;
+      }
+      if (!ok) {
+        ids.resize(before);
+        ids.push_back(unk_id);
+      }
+    }
+
+    // [CLS] ids[:max_len-2] [SEP] + pad
+    long long body = static_cast<long long>(ids.size());
+    if (body > max_len - 2) body = max_len - 2;
+    long long pos = 0;
+    row_ids[pos++] = cls_id;
+    for (long long i = 0; i < body; ++i) row_ids[pos++] = ids[i];
+    row_ids[pos++] = sep_id;
+    for (long long i = 0; i < pos; ++i) row_mask[i] = 1;
+    for (long long i = pos; i < max_len; ++i) {
+      row_ids[i] = pad_id;
+      row_mask[i] = 0;
+    }
+  }
+  return handled;
+}
+
+}  // extern "C"
