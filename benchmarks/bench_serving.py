@@ -1,0 +1,107 @@
+"""Serving-path throughput on the real TPU.
+
+Measures the full request->result path (host pack, device_put, compiled
+forward, host readback — every call materializes numpy results, so relay
+timing pathologies don't apply):
+
+  batch64     offline Predictor, full 64-row batches
+  batch8      small batches (padding to max_batch=64)
+  server8     PredictionServer with 8 concurrent single-request clients
+              (micro-batching coalesces them)
+  server_tok  raw-text requests through the native WordPiece path
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_serving.py
+"""
+
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mmda_tpu.config import Config
+    from mmda_tpu.data.etl.tokenizer import WordPieceTokenizer
+    from mmda_tpu.models import get_model
+    from mmda_tpu.models.bert import BertConfig
+    from mmda_tpu.serving import Predictor
+    from mmda_tpu.serving_server import PredictionServer
+
+    B = 64
+    cfg = Config(use_bert=True, batch_size=B, compute_dtype="bfloat16",
+                 data="mosei", name="srv", bucket_sizes=(48,), log_sinks=())
+    bert_cfg = BertConfig.base()
+    init_fn, _ = get_model(cfg.model)
+    params = init_fn(jax.random.PRNGKey(0), cfg, bert_cfg=bert_cfg)
+
+    vocab = {w: i for i, w in enumerate(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+        + [f"w{i:04d}" for i in range(2000)])}
+    tok = WordPieceTokenizer(vocab)
+    pred = Predictor(cfg, params=params, bert_cfg=bert_cfg, max_batch=B,
+                     tokenizer=tok, word2id={})
+    rng = np.random.default_rng(0)
+
+    def req(L=48):
+        return {
+            "text": rng.integers(2, 100, size=L).astype(np.int32),
+            "visual": rng.normal(size=(L, cfg.visual_size)).astype(np.float32),
+            "acoustic": rng.normal(size=(L, cfg.acoustic_size)).astype(np.float32),
+            "bert_ids": rng.integers(4, 2000, size=L + 2).astype(np.int32),
+            "bert_type": np.zeros(L + 2, np.int32),
+            "bert_mask": np.ones(L + 2, np.int32),
+        }
+
+    def timed(tag, n_utts, fn, reps=5):
+        fn()  # warmup/compile
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        med = sorted(times)[len(times) // 2]
+        print(f"{tag:12s} {n_utts / med:9.0f} utt/s   ({med * 1e3:7.2f} ms / "
+              f"{n_utts} utts)", flush=True)
+
+    reqs64 = [req() for _ in range(B)]
+    timed("batch64", B, lambda: pred(reqs64))
+    reqs8 = reqs64[:8]
+    timed("batch8", 8, lambda: pred(reqs8))
+
+    server = PredictionServer(pred, max_wait_ms=5.0)
+
+    def server_round():
+        outs = [None] * 8
+
+        def client(i):
+            outs[i] = server.predict(req(), timeout_s=120)
+
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+
+    timed("server8", 8, server_round)
+
+    text_reqs = [{"text": " ".join(
+        rng.choice([f"w{i:04d}" for i in range(2000)], size=40))}
+        for _ in range(B)]
+    timed("server_tok", B, lambda: pred(text_reqs))
+    server.close()
+    print("stats:", pred.stats)
+
+
+if __name__ == "__main__":
+    main()

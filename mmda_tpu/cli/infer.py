@@ -70,12 +70,16 @@ def main(argv=None):
     scores, labels, truths, tcps, hiddens = [], [], [], [], []
     for batch in loader:
         out = eval_step(params, batch)
-        w = np.asarray(batch.sample_weight) > 0
-        scores.append(np.asarray(out["scores"])[w])
-        labels.append(np.asarray(out["labels"])[w])
-        tcps.append(np.asarray(out["tcp"])[w])
-        truths.append(np.asarray(batch.emo_label)[w])
-        hiddens.append(np.asarray(hidden_step(params, batch))[w])
+        # one batched readback per batch (each np.asarray costs a relay RTT)
+        out, hid, sw, emo = jax.device_get(
+            (out, hidden_step(params, batch), batch.sample_weight,
+             batch.emo_label))
+        w = np.asarray(sw) > 0
+        scores.append(out["scores"][w])
+        labels.append(out["labels"][w])
+        tcps.append(out["tcp"][w])
+        truths.append(np.asarray(emo)[w])
+        hiddens.append(np.asarray(hid)[w])
     scores = np.concatenate(scores)
     labels = np.concatenate(labels)
     truths = np.concatenate(truths)

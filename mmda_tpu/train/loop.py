@@ -435,15 +435,20 @@ class Trainer:
         losses, preds, truths = [], [], []
         for batch in loader:
             out = self.eval_step(params, batch)
-            w = np.asarray(batch.sample_weight) > 0
-            bce = np.asarray(out["bce"])[w]             # (real_rows, C)
+            # ONE batched readback per batch: through the axon relay every
+            # separate np.asarray is a ~32 ms round trip (benchmarks/RESULTS.md
+            # serving section), so fetching the 4 arrays together matters
+            out, sw, sent, emo = jax.device_get(
+                (out, batch.sample_weight, batch.sentiment, batch.emo_label))
+            w = np.asarray(sw) > 0
+            bce = out["bce"][w]                         # (real_rows, C)
             losses.append(float(np.sum(np.mean(bce, axis=0))))
             if self.task == "regression":
-                preds.append(np.asarray(out["scores"])[w][:, 0])
-                truths.append(np.asarray(batch.sentiment)[w])
+                preds.append(out["scores"][w][:, 0])
+                truths.append(np.asarray(sent)[w])
             else:
-                preds.append(np.asarray(out["labels"])[w])
-                truths.append(np.asarray(batch.emo_label)[w])
+                preds.append(out["labels"][w])
+                truths.append(np.asarray(emo)[w])
         eval_loss = float(np.mean(losses))
         y_pred = np.concatenate(preds, axis=0)
         y_true = np.concatenate(truths, axis=0)
