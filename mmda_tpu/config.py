@@ -187,6 +187,9 @@ class Config:
     bucket_sizes: Tuple[int, ...] = (16, 32, 64)
     prefetch: int = 2             # device-prefetch depth (data/loader.py);
                                   # 0 = synchronous device_put in the consumer
+    # Serving (cli/serve.py)
+    port: int = 8321              # HTTP serving port
+    vocab_file: Optional[str] = None  # BERT vocab.txt for raw-text requests
     visual_size: int = 35         # MOSEI FACET default; overridden by DataMeta
     acoustic_size: int = 74       # MOSEI COVAREP default; overridden by DataMeta
     vocab_size: int = 32000
