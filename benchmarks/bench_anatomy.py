@@ -60,6 +60,10 @@ def main():
                  compute_dtype="bfloat16", data="mosei", name="anatomy")
     bert_cfg = BertConfig.base()
 
+    # production kernel routing, mirroring Trainer/bench.py
+    from mmda_tpu.ops import pallas as pallas_flags
+    pallas_flags.set_enabled(cfg.use_pallas and jax.default_backend() == "tpu")
+
     def make_batch(seed):
         split = make_split(SyntheticSpec(num_examples=B, max_len=T, seed=seed))
         split["lengths"][:] = T

@@ -134,7 +134,7 @@ class Config:
     learning_rate: float = 1e-4
     optimizer: str = "Adam"
     grad_accum_steps: int = 1     # microbatching via optax.MultiSteps
-    lr_schedule: str = "none"     # none|exponential|plateau.  The reference
+    lr_schedule: str = "none"     # none|exponential|plateau|cosine.  The reference
                                   # CREATES ReduceLROnPlateau + ExponentialLR
                                   # but never steps either (src/solver.py:100,
                                   # 122); 'none' replicates that effective
@@ -143,6 +143,7 @@ class Config:
                                   # plateau factor (reference factor=0.5)
     lr_plateau_patience: int = 5  # epochs (reference patience=5)
     min_lr: float = 1e-6          # reference min_lr=1e-6
+    warmup_steps: int = 0         # linear LR warmup steps (cosine schedule)
     clip: float = 1.0
     weight_decay: float = 0.1     # parsed but unused by the reference; see module doc
     apply_weight_decay: bool = False
@@ -306,7 +307,7 @@ class Config:
         if self.mult_d % self.mult_heads != 0:
             raise ValueError(
                 f"mult_heads={self.mult_heads} must divide mult_d={self.mult_d}")
-        if self.lr_schedule not in ("none", "exponential", "plateau"):
+        if self.lr_schedule not in ("none", "exponential", "plateau", "cosine"):
             raise ValueError(f"bad lr_schedule {self.lr_schedule!r}")
 
     def __str__(self) -> str:

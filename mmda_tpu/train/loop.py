@@ -158,7 +158,7 @@ class Trainer:
 
         self.frozen = frozen
         steps_per_epoch = None
-        if cfg.lr_schedule == "exponential":
+        if cfg.lr_schedule in ("exponential", "cosine"):
             steps_per_epoch = max(len(self._loader("train", shuffle=False)), 1)
         self.tx = make_optimizer(cfg, frozen, steps_per_epoch)
         self.state = create_train_state(cfg, params, k_state, frozen, tx=self.tx)

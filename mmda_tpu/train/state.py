@@ -39,6 +39,14 @@ def _base_optimizer(cfg: Config, steps_per_epoch: Optional[int] = None
         lr = optax.exponential_decay(
             cfg.learning_rate, transition_steps=steps_per_epoch,
             decay_rate=cfg.lr_decay_rate, staircase=True, end_value=cfg.min_lr)
+    elif cfg.lr_schedule == "cosine" and steps_per_epoch:
+        # warmup + cosine decay to min_lr over the full run (net-new knob;
+        # the standard production schedule the reference lacks entirely)
+        total = max(steps_per_epoch * cfg.n_epoch, cfg.warmup_steps + 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps, decay_steps=total,
+            end_value=cfg.min_lr)
 
     makers = {
         "Adam": lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),

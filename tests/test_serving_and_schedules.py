@@ -199,3 +199,36 @@ def test_server_warmup_compiles_buckets():
     server.warmup()
     assert pred.stats["requests"] >= 2  # one per bucket (4, 8)
     server.close()
+
+
+def test_cosine_schedule_warms_up_then_decays():
+    cfg = _cfg(lr_schedule="cosine", warmup_steps=3, learning_rate=1e-2,
+               n_epoch=2)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.ones(3)}
+    st = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    deltas = []
+    p = params
+    for _ in range(20):
+        up, st = tx.update(g, st, p)
+        deltas.append(float(jnp.abs(up["w"]).max()))
+        p = jax.tree_util.tree_map(lambda a, b: a + b, p, up)
+    assert deltas[0] < deltas[2]          # warming up
+    assert deltas[3] > deltas[19]         # decaying after warmup
+    assert deltas[19] > 0                 # never reaches zero (min_lr)
+
+
+def test_cosine_schedule_through_trainer(tmp_path):
+    from mmda_tpu.data.synthetic import make_dataset
+    from mmda_tpu.train.loop import Trainer
+
+    cfg = _cfg(lr_schedule="cosine", warmup_steps=2, n_epoch=2,
+               data="mosei", name="cos", ckpt_dir=str(tmp_path),
+               batch_size=8, bucket_sizes=(8,))
+    data = make_dataset(num_train=32, num_dev=16, num_test=16, max_len=8,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+    summary = Trainer(cfg, data, use_mesh=False).train()
+    import numpy as np
+    assert np.isfinite(summary["test_loss"])
