@@ -94,10 +94,18 @@ def serve(cfg, params=None, port: int = 8321, host: str = "127.0.0.1",
     """Build Predictor + PredictionServer + HTTP front end and serve forever.
     Returns (httpd, prediction_server) when run in a thread via
     `threading.Thread(target=httpd.serve_forever)` — see tests."""
+    import jax
+
     from mmda_tpu.serving import Predictor
     from mmda_tpu.serving_server import PredictionServer
 
-    pred = Predictor(cfg, params=params, tokenizer=tokenizer, word2id=word2id)
+    mesh = None
+    if len(jax.devices()) > 1 or cfg.tp_size > 1:
+        from mmda_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(dp=-1, tp=cfg.tp_size)
+    pred = Predictor(cfg, params=params, tokenizer=tokenizer, word2id=word2id,
+                     mesh=mesh)
     psrv = PredictionServer(pred, default_timeout_s=timeout_s)
     if warmup:
         psrv.warmup()

@@ -38,7 +38,15 @@ class Predictor:
         max_batch: int = 64,
         tokenizer=None,
         word2id: Optional[Dict[str, int]] = None,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh (parallel/mesh.py) for sharded
+        serving — params are sharded over it (replicated, or Megatron-TP when
+        the mesh has a >1 'model' axis), the request batch is split over the
+        'data' axis, and XLA SPMD inserts the collectives.  max_batch must be
+        divisible by the data-axis size.  Validated on the faked 8-device CPU
+        mesh (tests/test_parallel.py); on a real v5e-8 this is the 8x
+        throughput path for offline batch scoring."""
         self.cfg = cfg
         self.bert_cfg = bert_cfg or (BertConfig.base() if cfg.use_bert else None)
         self.max_batch = max_batch
@@ -57,6 +65,16 @@ class Predictor:
                 vocab_size=vocab_size, bert_cfg=self.bert_cfg)
             name = ckpt.best_model_name(cfg)
             params = ckpt.load_checkpoint(cfg.ckpt_dir, name, template)
+        self.mesh = mesh
+        if mesh is not None:
+            from mmda_tpu.parallel import mesh as pmesh
+
+            if max_batch % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"max_batch={max_batch} must be divisible by the mesh "
+                    f"data axis {mesh.shape['data']}")
+            params = pmesh.shard_params(params, mesh)
+            self._batch_sharding = pmesh.batch_sharding(mesh)
         self.params = params
         self._stats = {"requests": 0, "utterances": 0, "seconds": 0.0}
 
@@ -151,6 +169,9 @@ class Predictor:
             emo_label=np.zeros((B, self.cfg.num_classes), np.float32),
             sample_weight=(np.arange(B) < n).astype(np.float32),
         )
+        if self.mesh is not None:
+            batch = Batch(*(jax.device_put(a, self._batch_sharding)
+                            for a in batch))
         out = self._predict(self.params, batch)
         # one batched readback: per-array np.asarray costs a relay round trip
         # EACH (~32 ms; measured 175 -> 88 ms per call, benchmarks/RESULTS.md)

@@ -120,3 +120,52 @@ def test_full_train_step_dp_tp():
     k1 = np.asarray(state.params["bert"]["layers"][1]["q"]["kernel"])
     k1n = np.asarray(new_state.params["bert"]["layers"][1]["q"]["kernel"])
     assert not np.array_equal(k1, k1n)
+
+
+def test_mesh_sharded_predictor_matches_single_device():
+    """Serving over a dp=4 x tp=2 mesh: sharded Predictor returns the same
+    scores as the unsharded one (XLA SPMD handles the collectives)."""
+    from mmda_tpu.parallel import mesh as pmesh
+    from mmda_tpu.serving import Predictor
+
+    cfg = Config(hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
+                 embedding_size=8, compute_dtype="float32", use_bert=False,
+                 batch_size=8, bucket_sizes=(4, 8), max_seq_len=8,
+                 log_sinks=())
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    params_host = jax.tree_util.tree_map(np.asarray, params)
+
+    rng = np.random.default_rng(3)
+
+    def req(L):
+        return {
+            "text": rng.integers(2, 64, size=L).astype(np.int32),
+            "visual": rng.normal(size=(L, 5)).astype(np.float32),
+            "acoustic": rng.normal(size=(L, 6)).astype(np.float32),
+            "bert_ids": rng.integers(3, 64, size=L + 2).astype(np.int32),
+            "bert_type": np.zeros(L + 2, np.int32),
+            "bert_mask": np.ones(L + 2, np.int32),
+        }
+
+    reqs = [req(3), req(7), req(2), req(5), req(8)]
+    single = Predictor(cfg, params=params, max_batch=8)
+    want = single(reqs)
+
+    mesh = pmesh.make_mesh(dp=4, tp=2)
+    sharded = Predictor(
+        cfg, params=jax.tree_util.tree_map(jnp.asarray, params_host),
+        max_batch=8, mesh=mesh)
+    got = sharded(reqs)
+    np.testing.assert_allclose(got["scores"], want["scores"],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got["hidden"], want["hidden"],
+                               rtol=2e-5, atol=2e-5)
+
+    # max_batch must divide over the data axis
+    try:
+        Predictor(cfg, params=params, max_batch=6, mesh=mesh)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
