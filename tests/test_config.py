@@ -74,7 +74,7 @@ def test_validation_errors():
     with pytest.raises(ValueError):
         Config(eval_mode="median")
     with pytest.raises(ValueError):
-        Config(lr_schedule="cosine")
+        Config(lr_schedule="cyclical")
     with pytest.raises(ValueError):
         Config(missing_modality="text")
 
