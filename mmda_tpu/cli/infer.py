@@ -63,6 +63,11 @@ def main(argv=None):
     @_jax.jit
     def hidden_step(params, batch):
         out = fwd_fn(params, cfg, batch, bert_cfg=bert_cfg, deterministic=True)
+        if out.shared_t is None:
+            # non-MISA families (EF_LSTM/LF_DNN/MULT) have no shared/private
+            # factorization; export scores as the hidden representation, like
+            # serving.Predictor does
+            return out.scores
         return _jax.numpy.concatenate(
             [out.private_t, out.private_v, out.private_a,
              out.shared_t, out.shared_v, out.shared_a], axis=1)

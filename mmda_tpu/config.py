@@ -235,12 +235,13 @@ class Config:
                                   # (removes per-step host round trips)
     scan_chunk: int = 8
     use_pallas: bool = True       # fused Pallas LSTM recurrence kernel for the
-                                  # towers (TPU only; XLA scan elsewhere).
+                                  # towers — ON by default since round 2; the
+                                  # Trainer gates it to TPU backends (LSTM
+                                  # cell only; fused XLA scan elsewhere).
                                   # Measured 1.9x tower-pair fwd+bwd vs the
-                                  # round-1 scans (benchmarks/bench_towers.py).
-                                  # Off by default: TPU microbenchmarks
-                                  # (benchmarks/bench_kernels.py) show mixed
-                                  # wins at MOSEI sizes; enable per-run.
+                                  # round-1 scans (benchmarks/bench_towers.py;
+                                  # the round-1 per-layer rejection reversed
+                                  # at the full-tower level).
     use_flash_attention: bool = False   # Pallas blockwise flash attention in
                                   # the BERT tower.  Off by default: at MOSEI
                                   # S<=66 plain XLA attention is faster (the
@@ -307,6 +308,9 @@ class Config:
         if self.mult_d % self.mult_heads != 0:
             raise ValueError(
                 f"mult_heads={self.mult_heads} must divide mult_d={self.mult_d}")
+        if self.mult_d % 2 != 0:
+            raise ValueError(
+                f"mult_d={self.mult_d} must be even (sinusoidal positions)")
         if self.lr_schedule not in ("none", "exponential", "plateau", "cosine"):
             raise ValueError(f"bad lr_schedule {self.lr_schedule!r}")
 

@@ -315,7 +315,8 @@ def birnn(
     if fused is None:
         from mmda_tpu.ops import pallas as pallas_flags
 
-        fused = not pallas_flags.is_enabled()
+        # the Pallas kernel path is LSTM-only; GRU must keep the fused scan
+        fused = not (pallas_flags.is_enabled() and cell == "lstm")
     if fused:
         ys_f, ys_b, h_f, h_b = _birnn_fused(params, x, mask, cell)
     else:

@@ -322,12 +322,15 @@ def mult_forward(
     fused = jnp.concatenate([u_t, u_v, u_a], axis=-1).astype(jnp.float32)
 
     # ---- residual MLP head (paper: proj2(dropout(relu(proj1))) + x) ------
-    rh1, rh2 = jax.random.split(r_head)
+    rh1 = r_head
     h = jax.nn.relu(linear(params["proj1"], fused))
     h = dropout(rh1, h, drop, deterministic)
     h = linear(params["proj2"], h) + fused
-    logits = linear(params["out"], h)
-    logits = dropout(rh2, logits, drop, deterministic).astype(jnp.float32)
+    # no dropout on the output logits: the paper applies dropout only inside
+    # the residual head (above); zeroing logits would corrupt the regression
+    # target in particular (MISA's logit dropout is that model's reference
+    # quirk, not this one's)
+    logits = linear(params["out"], h).astype(jnp.float32)
 
     tcp = jax.nn.sigmoid(linear(params["confidence"], fused))
 

@@ -51,6 +51,10 @@ class PredictionServer:
         self._default_timeout = default_timeout_s
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._closed = False
+        # serializes submit()'s closed-check+put against close()'s sentinel
+        # put, so no request can land BEHIND the shutdown sentinel (where the
+        # worker would never see it and its Future would hang forever)
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -59,12 +63,13 @@ class PredictionServer:
     def submit(self, request: Dict, timeout_s: Optional[float] = None) -> Future:
         """Enqueue one request dict (same schema as Predictor.__call__ rows).
         Returns a Future resolving to that row's result dict."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         timeout = timeout_s if timeout_s is not None else self._default_timeout
         deadline = (time.monotonic() + timeout) if timeout else None
         fut: Future = Future()
-        self._queue.put(_Pending(request, fut, deadline))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put(_Pending(request, fut, deadline))
         return fut
 
     def predict(self, request: Dict, timeout_s: Optional[float] = None) -> Dict:
@@ -91,16 +96,17 @@ class PredictionServer:
     def close(self, drain: bool = True) -> None:
         """Stop the worker.  With drain=True, queued work completes first;
         otherwise pending futures get CancelledError."""
-        self._closed = True
-        if not drain:
-            while True:
-                try:
-                    item = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                if item is not None:
-                    item.future.cancel()
-        self._queue.put(None)
+        with self._submit_lock:
+            self._closed = True
+            if not drain:
+                while True:
+                    try:
+                        item = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if item is not None:
+                        item.future.cancel()
+            self._queue.put(None)
         self._worker.join()
 
     @property

@@ -100,11 +100,13 @@ class Trainer:
             num_test=len(data["test"]["lengths"]),
         )
 
-        if cfg.fast_rng and jax.default_backend() == "tpu":
-            # hardware PRNG for dropout masks: -1.15 ms/fwd vs threefry at the
-            # bench shape (benchmarks/RESULTS.md); must be set before any key
-            # in the TrainState is created
-            jax.config.update("jax_default_prng_impl", "rbg")
+        # hardware PRNG for dropout masks: -1.15 ms/fwd vs threefry at the
+        # bench shape (benchmarks/RESULTS.md); must be set before any key in
+        # the TrainState is created.  Set explicitly BOTH ways - the config
+        # update is process-global and would otherwise stick across Trainers.
+        use_rbg = cfg.fast_rng and jax.default_backend() == "tpu"
+        jax.config.update("jax_default_prng_impl",
+                          "rbg" if use_rbg else "threefry2x32")
 
         self.mesh = None
         if use_mesh and (len(jax.devices()) > 1 or cfg.tp_size > 1):
@@ -188,7 +190,16 @@ class Trainer:
                          "params_trainable": counts["trainable"]})
 
         if cfg.resume and ckpt.checkpoint_exists(cfg.ckpt_dir, f"last_{cfg.name}"):
+            expected_rng = self.state.rng
             self.state = ckpt.load_checkpoint(cfg.ckpt_dir, f"last_{cfg.name}", self.state)
+            if self.state.rng.shape != expected_rng.shape:
+                # checkpoint saved under a different PRNG impl (threefry (2,)
+                # vs rbg (4,) keys - cfg.fast_rng or a backend change).  The
+                # raw key is not portable; rebuild one deterministically from
+                # seed+step so the resumed run continues (new dropout stream).
+                self.logger.log({"resume_rng_impl_mismatch": 1.0})
+                self.state = self.state._replace(rng=jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed), int(self.state.step)))
             self.logger.log({"resumed_at_step": int(self.state.step)})
 
     def _loader(self, split: str, shuffle: bool) -> ArrayLoader:

@@ -225,6 +225,12 @@ long long wordpiece_encode_batch(
   const auto& vocab = static_cast<WordPieceVocab*>(handle)->map;
   const long long max_chars_per_word = 100;
   long long handled = 0;
+  if (max_len < 2) {
+    // no room for [CLS]+[SEP]: flag every row for the Python path, which
+    // raises a proper error instead of writing past the row
+    for (long long r = 0; r < n; ++r) fallback[r] = 1;
+    return 0;
+  }
   std::string cleaned, sub;
   std::vector<std::string> words;
   std::vector<int32_t> ids;

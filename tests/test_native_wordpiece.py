@@ -75,3 +75,16 @@ def test_real_vocab_shapes(lib):
     ids_p, _, _ = py.encode_batch(texts, 20)
     ids_n, _, _ = nat.encode_batch(texts, 20)
     np.testing.assert_array_equal(ids_n, ids_p)
+
+
+def test_max_len_too_small_falls_back_and_python_raises(lib):
+    nat = WordPieceTokenizer(VOCAB, use_native=True)
+    handle = nat._native_handle()
+    _, _, fallback = handle.encode_batch(["the fox"], 1, True, 1, 2, 3, 0)
+    assert fallback.tolist() == [True]     # no room for [CLS]+[SEP]
+    try:
+        nat.encode_batch(["the fox"], 1)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised                          # Python path raises cleanly

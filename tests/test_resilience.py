@@ -101,3 +101,28 @@ def test_preemption_signal_checkpoints_and_stops(tmp_path):
     from mmda_tpu.train import checkpoint as ckpt
 
     assert ckpt.checkpoint_exists(str(tmp_path), "last_pre")
+
+
+def test_resume_across_prng_impl_change(tmp_path, monkeypatch):
+    """A checkpoint saved under threefry must resume under the rbg impl
+    (cfg.fast_rng on TPU): the restored (2,)-shaped key is rebuilt
+    deterministically instead of crashing the first step."""
+    data = make_dataset(num_train=32, num_dev=16, num_test=16, max_len=8,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+    cfg = Config(hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
+                 embedding_size=8, compute_dtype="float32", use_bert=False,
+                 batch_size=16, n_epoch=1, bucket_sizes=(8,), log_sinks=(),
+                 data="mosei", name="rngmix", ckpt_dir=str(tmp_path),
+                 use_pallas=False)
+    Trainer(cfg, data, use_mesh=False).train()          # saves last_* (threefry)
+
+    # simulate the TPU fast_rng path: Trainer sees backend 'tpu' -> rbg keys
+    import mmda_tpu.train.loop as loop_mod
+    monkeypatch.setattr(loop_mod.jax, "default_backend", lambda: "tpu")
+    try:
+        tr = Trainer(cfg.replace(resume=True), data, use_mesh=False)
+        assert tr.state.rng.shape == (4,)               # rebuilt rbg key
+        assert int(tr.state.step) > 0                   # params/step restored
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
