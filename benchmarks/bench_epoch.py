@@ -1,0 +1,69 @@
+"""Full-epoch wall-clock on the real TPU — the north-star metric.
+
+Runs the PRODUCTION path end-to-end: Trainer with the bucketed loader,
+threaded device prefetch, compiled-epoch scan, per-epoch dev eval, and
+checkpointing, on a MOSEI-sized synthetic dataset (16,326 train / 1,871 dev
+/ 1,871 test utterances — the reference's split sizes — with a realistic
+length distribution so every bucket is exercised).
+
+Reports the steady-state (2nd) epoch time.  The reference's torch-CPU
+trainer does ~2.8 utt/s on this host => a ~97-minute epoch; this path
+measures the same work in seconds.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_epoch.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from mmda_tpu.config import Config
+    from mmda_tpu.data.synthetic import make_dataset
+    from mmda_tpu.train.loop import Trainer
+
+    n_epoch = int(os.environ.get("BENCH_EPOCHS", "3"))
+    cfg = Config(
+        use_bert=True, batch_size=64, compute_dtype="bfloat16",
+        data="mosei", name="bench_epoch", n_epoch=n_epoch,
+        bucket_sizes=(16, 32, 48), max_seq_len=48,
+        ckpt_dir="/tmp/bench_epoch_ckpt", log_sinks=("stdout",),
+    )
+    # reference MOSEI split sizes (SURVEY.md §6: test 1,871)
+    data = make_dataset(num_train=16326, num_dev=1871, num_test=1871,
+                        max_len=48, seed=0)
+    # realistic utterance-length spread so all buckets fire
+    rng = np.random.default_rng(0)
+    for split in data.values():
+        n = len(split["lengths"])
+        split["lengths"][:] = np.clip(
+            rng.gamma(4.0, 5.0, size=n).astype(np.int32), 2, 48)
+
+    tr = Trainer(cfg, data, use_mesh=False)
+    summary = tr.train()
+    hist = summary["history"]
+    for h in hist:
+        print(f"epoch {int(h['epoch'])}: {h['epoch_time_s']:8.2f} s  "
+              f"({h['utterances_per_s']:7.0f} utt/s)  "
+              f"train_loss {h['train_loss']:.4f}")
+    steady = hist[-1]
+    torch_cpu_epoch_s = 16326 / 2.82
+    print(f"\nsteady-state epoch: {steady['epoch_time_s']:.2f} s "
+          f"({steady['utterances_per_s']:.0f} utt/s incl. eval) vs "
+          f"torch-CPU ~{torch_cpu_epoch_s / 60:.0f} min "
+          f"({torch_cpu_epoch_s / steady['epoch_time_s']:.0f}x)")
+
+
+if __name__ == "__main__":
+    main()

@@ -171,6 +171,7 @@ class Config:
     mult_heads: int = 5           # attention heads (must divide mult_d, and
                                   # hence 2*mult_d for the self stacks)
     mult_conv_kernel: int = 3     # temporal conv width of the projections
+    lmf_rank: int = 4             # LMF family: rank of the fusion factors
     task: str = "auto"            # auto|classification|regression|binary
                                   # auto: mosei/synthetic -> 6-way multilabel
                                   # classification; mosi -> sentiment regression
