@@ -22,11 +22,12 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mmda_tpu.config import Config, DataMeta
 from mmda_tpu.data.loader import ArrayLoader
-from mmda_tpu.models import get_model
+from mmda_tpu.models import Batch, get_model
 from mmda_tpu.models.bert import BertConfig, frozen_mask, load_hf_weights
 from mmda_tpu.parallel import mesh as pmesh
 from mmda_tpu.train import checkpoint as ckpt
@@ -38,7 +39,12 @@ from mmda_tpu.train.state import (
     set_learning_rate,
     trainable_param_count,
 )
-from mmda_tpu.train.step import make_eval_step, make_train_epoch, make_train_step
+from mmda_tpu.train.step import (
+    make_eval_epoch,
+    make_eval_step,
+    make_train_epoch,
+    make_train_step,
+)
 from mmda_tpu.utils.logging import MetricLogger
 from mmda_tpu.utils.metrics import get_accuracy, get_metrics, select_by_eval_mode
 from mmda_tpu.utils.sentiment_metrics import eval_binary, eval_mosei_senti
@@ -182,6 +188,10 @@ class Trainer:
         self.epoch_step = (
             make_train_epoch(cfg, self.tx, self.forward_fn, self.bert_cfg,
                              frozen=frozen)
+            if cfg.compiled_epoch else None
+        )
+        self.eval_epoch = (
+            make_eval_epoch(cfg, self.forward_fn, self.bert_cfg)
             if cfg.compiled_epoch else None
         )
 
@@ -444,22 +454,44 @@ class Trainer:
         params = params if params is not None else self.state.params
         loader = self._loader(mode, shuffle=False)
         losses, preds, truths = [], [], []
-        for batch in loader:
-            out = self.eval_step(params, batch)
-            # ONE batched readback per batch: through the axon relay every
-            # separate np.asarray is a ~32 ms round trip (benchmarks/RESULTS.md
-            # serving section), so fetching the 4 arrays together matters
-            out, sw, sent, emo = jax.device_get(
-                (out, batch.sample_weight, batch.sentiment, batch.emo_label))
-            w = np.asarray(sw) > 0
-            bce = out["bce"][w]                         # (real_rows, C)
+
+        def accumulate(out_i, host_batch):
+            w = np.asarray(host_batch["sample_weight"]) > 0
+            bce = out_i["bce"][w]                       # (real_rows, C)
             losses.append(float(np.sum(np.mean(bce, axis=0))))
             if self.task == "regression":
-                preds.append(out["scores"][w][:, 0])
-                truths.append(np.asarray(sent)[w])
+                preds.append(out_i["scores"][w][:, 0])
+                truths.append(np.asarray(host_batch["sentiment"])[w])
             else:
-                preds.append(out["labels"][w])
-                truths.append(np.asarray(emo)[w])
+                preds.append(out_i["labels"][w])
+                truths.append(np.asarray(host_batch["emo_label"])[w])
+
+        if self.eval_epoch is not None and self.mesh is None:
+            # compiled eval epoch: stack same-shape batches, scan them in ONE
+            # dispatch, read everything back in ONE transfer per bucket group
+            # (each per-batch dispatch+readback costs ~60-90 ms through the
+            # relay; this removed most of the epoch-level eval time)
+            groups: Dict[tuple, list] = {}
+            for arrays in loader._host_batches():
+                groups.setdefault(arrays["text"].shape, []).append(arrays)
+            for group in groups.values():
+                stacked = Batch(**{
+                    k: jnp.stack([jnp.asarray(a[k]) for a in group])
+                    for k in group[0]
+                })
+                outs = jax.device_get(self.eval_epoch(params, stacked))
+                for i, host_batch in enumerate(group):
+                    accumulate({k: v[i] for k, v in outs.items()}, host_batch)
+        else:
+            for batch in loader:
+                out = self.eval_step(params, batch)
+                # ONE batched readback per batch (each separate np.asarray is
+                # a ~32 ms relay round trip, benchmarks/RESULTS.md)
+                out, sw, sent, emo = jax.device_get(
+                    (out, batch.sample_weight, batch.sentiment,
+                     batch.emo_label))
+                accumulate(out, {"sample_weight": sw, "sentiment": sent,
+                                 "emo_label": emo})
         eval_loss = float(np.mean(losses))
         y_pred = np.concatenate(preds, axis=0)
         y_true = np.concatenate(truths, axis=0)

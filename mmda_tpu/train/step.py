@@ -193,3 +193,29 @@ def make_eval_step(
         }
 
     return jax.jit(step)
+
+
+def make_eval_epoch(
+    cfg: Config,
+    forward_fn: Callable,
+    bert_cfg: Optional[BertConfig] = None,
+) -> Callable[[Any, Batch], Dict[str, jnp.ndarray]]:
+    """Scanned eval over stacked same-shape batches: ONE device dispatch and
+    ONE host readback per bucket group instead of one per batch.  Through the
+    axon relay each dispatch+readback pair costs ~60-90 ms, which dominated
+    the epoch-level eval time (benchmarks/bench_epoch.py); the scan removes
+    it.  Returns the same dict as make_eval_step with a leading batch-count
+    axis on every leaf."""
+    # reuse the exact single-batch body so the two paths cannot diverge
+    step = make_eval_step(cfg, forward_fn, bert_cfg)
+    inner = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+
+    @jax.jit
+    def epoch(params, batches: Batch):
+        def body(carry, b):
+            return carry, inner(params, b)
+
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs
+
+    return epoch
