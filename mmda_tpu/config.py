@@ -189,6 +189,12 @@ class Config:
     bucket_sizes: Tuple[int, ...] = (16, 32, 64)
     prefetch: int = 2             # device-prefetch depth (data/loader.py);
                                   # 0 = synchronous device_put in the consumer
+    ckpt_interval: int = 1        # save the resume (last_*) checkpoint every
+                                  # k epochs.  The full-TrainState msgpack is
+                                  # ~1 GB for bert-base + Adam; on weak hosts
+                                  # serialization is minutes of CPU, so bulk
+                                  # jobs may amortize it (best-on-dev exports
+                                  # are unaffected and always saved).
     # Serving (cli/serve.py)
     port: int = 8321              # HTTP serving port
     vocab_file: Optional[str] = None  # BERT vocab.txt for raw-text requests
@@ -232,9 +238,19 @@ class Config:
     log_sinks: Tuple[str, ...] = ("stdout",)
     profile_dir: Optional[str] = None
     compiled_epoch: bool = False  # scan-over-batches training: chunks of
-                                  # scan_chunk steps run as ONE device dispatch
-                                  # (removes per-step host round trips)
+                                  # scan_chunk steps run as ONE device dispatch.
+                                  # Off by default: free-running async per-step
+                                  # dispatches pipeline BETTER through the
+                                  # relay than chunked scans with their
+                                  # device-side batch stacking (measured:
+                                  # 8.9-9.4 vs 11-12.5 s MOSEI-sized epochs,
+                                  # benchmarks/bench_epoch.py); the scan wins
+                                  # where dispatch is synchronous/expensive.
     scan_chunk: int = 8
+    compiled_eval: bool = True    # scanned eval epoch: same-bucket eval
+                                  # batches in ONE dispatch + ONE readback
+                                  # (~1 s vs 2-3 s per dev eval at MOSEI
+                                  # sizes; exact-equivalence tested)
     use_pallas: bool = True       # fused Pallas LSTM recurrence kernel for the
                                   # towers — ON by default since round 2; the
                                   # Trainer gates it to TPU backends (LSTM
@@ -312,6 +328,8 @@ class Config:
         if self.mult_d % 2 != 0:
             raise ValueError(
                 f"mult_d={self.mult_d} must be even (sinusoidal positions)")
+        if self.ckpt_interval < 1:
+            raise ValueError(f"ckpt_interval must be >= 1, got {self.ckpt_interval}")
         if self.lr_schedule not in ("none", "exponential", "plateau", "cosine"):
             raise ValueError(f"bad lr_schedule {self.lr_schedule!r}")
 

@@ -118,6 +118,17 @@ class ArrayLoader:
             if np.sum(self._bucket_of == b)
         )
 
+    def host_batches_grouped(self) -> Dict[tuple, list]:
+        """One epoch of host-side batches, grouped by text shape (= bucket),
+        each batch filtered to the Batch fields.  Public API for compiled
+        (scanned) epoch paths that stack same-shape batches into one dispatch
+        (Trainer.evaluate, train/step.py::make_eval_epoch consumers)."""
+        groups: Dict[tuple, list] = {}
+        for arrays in self._host_batches():
+            arrays = {k: arrays.get(k) for k in ARRAY_KEYS}
+            groups.setdefault(arrays["text"].shape, []).append(arrays)
+        return groups
+
     def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(self.n)
         if self.shuffle:

@@ -17,9 +17,10 @@ import jax.numpy as jnp
 
 from mmda_tpu.config import Config
 from mmda_tpu.models import bert as jbert
-from mmda_tpu.models.common import dropout, layer_norm, layer_norm_params, linear, linear_params
+from mmda_tpu.models import pooled
+from mmda_tpu.models.common import dropout, linear, linear_params
 from mmda_tpu.models.misa import Batch, MISAOutput
-from mmda_tpu.ops.functions import binarize, get_activation, length_mask, masked_mean
+from mmda_tpu.ops.functions import binarize, get_activation
 
 
 def init_lf_dnn_params(
@@ -32,33 +33,14 @@ def init_lf_dnn_params(
     bert_params: Optional[Dict] = None,
     pretrained_emb=None,
 ) -> Dict:
-    dv = visual_size or cfg.visual_size
-    da = acoustic_size or cfg.acoustic_size
-    vocab = vocab_size or cfg.vocab_size
     H = cfg.hidden_size
     C = cfg.num_classes
     ks = jax.random.split(key, 8)
-    params: Dict = {}
-
-    if cfg.use_bert:
-        bert_cfg = bert_cfg or jbert.BertConfig.base()
-        params["bert"] = (bert_params if bert_params is not None
-                          else jbert.init_bert_params(ks[0], bert_cfg))
-        text_in = bert_cfg.hidden_size
-    else:
-        params["embed"] = (
-            jnp.asarray(pretrained_emb, jnp.float32) if pretrained_emb is not None
-            else jax.random.normal(ks[0], (vocab, cfg.embedding_size), jnp.float32))
-        text_in = cfg.embedding_size
-
-    def enc(k, d_in):
-        k1, k2 = jax.random.split(k)
-        return {"l1": linear_params(k1, d_in, H), "l2": linear_params(k2, H, H),
-                "ln": layer_norm_params(H)}
-
-    params["enc_t"] = enc(ks[1], text_in)
-    params["enc_v"] = enc(ks[2], dv)
-    params["enc_a"] = enc(ks[3], da)
+    # shared pooled-modality encoder stack (models/pooled.py, same key order
+    # as the original inline version, so initialization is unchanged)
+    params = pooled.init_pooled_params(
+        ks[:4], cfg, visual_size, acoustic_size, vocab_size,
+        bert_cfg, bert_params, pretrained_emb)
     params["head1"] = linear_params(ks[4], 3 * H, H)
     params["head2"] = linear_params(ks[5], H, C)
     params["confidence"] = linear_params(ks[6], 3 * H, C)
@@ -75,45 +57,13 @@ def lf_dnn_forward(
     modality_keep=None,
 ) -> MISAOutput:
     act = get_activation(cfg.activation)
-    compute_dtype = jnp.dtype(cfg.compute_dtype)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     r_bert, r_cls = jax.random.split(rng)
 
-    v_len = batch.visual_lengths if batch.visual_lengths is not None else batch.lengths
-    a_len = batch.acoustic_lengths if batch.acoustic_lengths is not None else batch.lengths
-
-    if cfg.use_bert:
-        bert_cfg = bert_cfg or jbert.BertConfig.base()
-        hidden = jbert.bert_encode(
-            params["bert"], bert_cfg, batch.bert_ids, batch.bert_mask,
-            batch.bert_type, deterministic=deterministic, dropout_rng=r_bert,
-            compute_dtype=compute_dtype,
-            attn_impl=cfg.resolved_attn_impl())
-        pooled_t = masked_mean(hidden.astype(jnp.float32), batch.bert_mask)
-    else:
-        emb = params["embed"][batch.text].astype(jnp.float32)
-        tmask = length_mask(batch.lengths, batch.text.shape[1])
-        pooled_t = masked_mean(emb, tmask)
-
-    vmask = length_mask(v_len, batch.visual.shape[1])
-    amask = length_mask(a_len, batch.acoustic.shape[1])
-    pooled_v = masked_mean(batch.visual.astype(jnp.float32), vmask)
-    pooled_a = masked_mean(batch.acoustic.astype(jnp.float32), amask)
-
-    if modality_keep is not None:
-        mk = modality_keep.astype(jnp.float32)
-        pooled_t = pooled_t * mk[:, 0][:, None]
-        pooled_v = pooled_v * mk[:, 1][:, None]
-        pooled_a = pooled_a * mk[:, 2][:, None]
-
-    def enc(p, x):
-        h = act(linear(p["l1"], x))
-        return layer_norm(p["ln"], act(linear(p["l2"], h)))
-
-    ht = enc(params["enc_t"], pooled_t)
-    hv = enc(params["enc_v"], pooled_v)
-    ha = enc(params["enc_a"], pooled_a)
+    ht, hv, ha = pooled.pooled_modality_encodings(
+        params, cfg, batch, act, bert_cfg, deterministic, r_bert,
+        modality_keep)
     fused = jnp.concatenate([ht, hv, ha], axis=-1)
 
     tcp = jax.nn.sigmoid(linear(params["confidence"], fused))

@@ -192,7 +192,7 @@ class Trainer:
         )
         self.eval_epoch = (
             make_eval_epoch(cfg, self.forward_fn, self.bert_cfg)
-            if cfg.compiled_epoch else None
+            if cfg.compiled_eval else None
         )
 
         counts = trainable_param_count(self.state.params, frozen)
@@ -284,10 +284,14 @@ class Trainer:
 
             valid_loss, valid_acc, preds, truths = self.evaluate("dev")
 
-            # resume checkpoint: every epoch, async, atomic
-            pending.append(ckpt.save_checkpoint(
-                cfg.ckpt_dir, f"last_{cfg.name}", self.state,
-                {"epoch": e, "valid_loss": valid_loss}, async_write=True))
+            # resume checkpoint: every ckpt_interval epochs (and the final
+            # one), async, atomic.  Serializing the full TrainState is host
+            # CPU-bound (~minutes for bert-base+Adam on a 1-core host), so
+            # the interval lets long jobs amortize it.
+            if e % cfg.ckpt_interval == 0 or e == cfg.n_epoch - 1:
+                pending.append(ckpt.save_checkpoint(
+                    cfg.ckpt_dir, f"last_{cfg.name}", self.state,
+                    {"epoch": e, "valid_loss": valid_loss}, async_write=True))
 
             # ReduceLROnPlateau semantics (reference creates-but-never-steps,
             # src/solver.py:100: factor 0.5, patience 5, min_lr 1e-6)
@@ -331,12 +335,17 @@ class Trainer:
                         self.logger.log({"early_stop_epoch": e})
                         break
 
+            # epoch_time_s covers the TRAIN loop only; epoch_total_time_s is
+            # wall time from epoch start through dev eval + checkpoint
+            # dispatch (the end-to-end number benchmarks report)
+            epoch_total = time.perf_counter() - t0
             payload = {
                 "epoch": e,
                 "train_loss": train_avg_loss,
                 "valid_loss": valid_loss,
                 "valid_acc": valid_acc,
                 "epoch_time_s": round(epoch_time, 3),
+                "epoch_total_time_s": round(epoch_total, 3),
                 "utterances_per_s": round(
                     len(train_loader) * cfg.batch_size / max(epoch_time, 1e-9), 1),
                 **{f"train_{k}": v for k, v in stacked.items() if k != "total"},
@@ -471,12 +480,13 @@ class Trainer:
             # dispatch, read everything back in ONE transfer per bucket group
             # (each per-batch dispatch+readback costs ~60-90 ms through the
             # relay; this removed most of the epoch-level eval time)
-            groups: Dict[tuple, list] = {}
-            for arrays in loader._host_batches():
-                groups.setdefault(arrays["text"].shape, []).append(arrays)
-            for group in groups.values():
+            for group in loader.host_batches_grouped().values():
+                # stack on HOST, one transfer per field (a device-side stack
+                # would cost len(group) transfers + a concat dispatch per
+                # field through the relay)
                 stacked = Batch(**{
-                    k: jnp.stack([jnp.asarray(a[k]) for a in group])
+                    k: (jnp.asarray(np.stack([a[k] for a in group]))
+                        if group[0][k] is not None else None)
                     for k in group[0]
                 })
                 outs = jax.device_get(self.eval_epoch(params, stacked))

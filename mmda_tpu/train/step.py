@@ -154,12 +154,15 @@ def make_train_epoch(
     return jax.jit(epoch, donate_argnums=(0,))
 
 
-def make_eval_step(
+def _make_eval_body(
     cfg: Config,
     forward_fn: Callable,
     bert_cfg: Optional[BertConfig] = None,
 ) -> Callable[[Any, Batch], Dict[str, jnp.ndarray]]:
-    """Deterministic forward returning everything host-side eval needs:
+    """The raw (unjitted) eval step body, shared by make_eval_step (jit per
+    batch) and make_eval_epoch (scanned) so the two paths cannot diverge.
+
+    Deterministic forward returning everything host-side eval needs:
     binarized labels, scores, and the cls loss computed with exact reference
     semantics (per-class batch-mean BCE summed over classes,
     src/solver.py:353-356).  Static missing-modality zeroing applies here too
@@ -192,7 +195,16 @@ def make_eval_step(
             "bce": bce,
         }
 
-    return jax.jit(step)
+    return step
+
+
+def make_eval_step(
+    cfg: Config,
+    forward_fn: Callable,
+    bert_cfg: Optional[BertConfig] = None,
+) -> Callable[[Any, Batch], Dict[str, jnp.ndarray]]:
+    """jit'd single-batch eval step (see _make_eval_body)."""
+    return jax.jit(_make_eval_body(cfg, forward_fn, bert_cfg))
 
 
 def make_eval_epoch(
@@ -206,9 +218,7 @@ def make_eval_epoch(
     the epoch-level eval time (benchmarks/bench_epoch.py); the scan removes
     it.  Returns the same dict as make_eval_step with a leading batch-count
     axis on every leaf."""
-    # reuse the exact single-batch body so the two paths cannot diverge
-    step = make_eval_step(cfg, forward_fn, bert_cfg)
-    inner = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+    inner = _make_eval_body(cfg, forward_fn, bert_cfg)
 
     @jax.jit
     def epoch(params, batches: Batch):

@@ -220,3 +220,32 @@ def test_trainer_resume(tmp_path):
     cfg2 = cfg.replace(resume=True, n_epoch=2)
     tr2 = Trainer(cfg2, data, use_mesh=False)
     assert int(tr2.state.step) == step_before  # restored full state
+
+
+def test_compiled_eval_epoch_matches_per_batch_eval(tmp_path):
+    """The scanned eval epoch must aggregate to EXACTLY the same eval loss,
+    accuracy, and prediction arrays as the per-batch path (they share the
+    step body; this pins the stacking/grouping/index mapping)."""
+    import jax
+
+    from mmda_tpu.data.synthetic import make_dataset
+
+    data = make_dataset(num_train=48, num_dev=36, num_test=20, max_len=12,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+    cfg = Config(hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
+                 embedding_size=8, compute_dtype="float32", use_bert=False,
+                 batch_size=8, bucket_sizes=(8, 12), max_seq_len=12,
+                 n_epoch=1, log_sinks=(), data="mosei", name="eveq",
+                 ckpt_dir=str(tmp_path), compiled_epoch=True)
+    tr = Trainer(cfg, data, use_mesh=False)
+
+    loss_c, acc_c, preds_c, truths_c = tr.evaluate("dev")
+    assert tr.eval_epoch is not None
+    tr.eval_epoch = None                 # force the per-batch path
+    loss_b, acc_b, preds_b, truths_b = tr.evaluate("dev")
+
+    assert loss_c == loss_b
+    assert acc_c == acc_b
+    np.testing.assert_array_equal(preds_c, preds_b)
+    np.testing.assert_array_equal(truths_c, truths_b)
