@@ -126,3 +126,41 @@ def test_resume_across_prng_impl_change(tmp_path, monkeypatch):
         assert int(tr.state.step) > 0                   # params/step restored
     finally:
         jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+def test_ckpt_interval_skips_and_final_epoch_saves(tmp_path):
+    """ckpt_interval=3 with n_epoch=4: last_* saved at epochs 0, 3 (final)
+    only; best-on-dev exports unaffected; resume still works."""
+    import os
+
+    from mmda_tpu.train import checkpoint as ckpt_mod
+
+    data = make_dataset(num_train=32, num_dev=16, num_test=16, max_len=8,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+    cfg = Config(hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
+                 embedding_size=8, compute_dtype="float32", use_bert=False,
+                 batch_size=16, n_epoch=4, bucket_sizes=(8,), log_sinks=(),
+                 data="mosei", name="ckint", ckpt_dir=str(tmp_path),
+                 ckpt_interval=3)
+    saves = []
+    orig = ckpt_mod.save_checkpoint
+
+    def spy(ckpt_dir, name, state, meta, **kw):
+        saves.append(name)
+        return orig(ckpt_dir, name, state, meta, **kw)
+
+    ckpt_mod.save_checkpoint, save = spy, ckpt_mod.save_checkpoint
+    try:
+        import mmda_tpu.train.loop as loop_mod
+        loop_mod.ckpt.save_checkpoint = spy
+        Trainer(cfg, data, use_mesh=False).train()
+    finally:
+        ckpt_mod.save_checkpoint = save
+        loop_mod.ckpt.save_checkpoint = save
+    last_saves = [s for s in saves if s.startswith("last_")]
+    assert len(last_saves) == 2            # epochs 0 and 3 only
+    assert os.path.exists(os.path.join(str(tmp_path), "last_ckint.msgpack"))
+
+    tr = Trainer(cfg.replace(resume=True), data, use_mesh=False)
+    assert int(tr.state.step) > 0

@@ -275,3 +275,45 @@ def test_lmf_fusion_matches_naive_outer_product():
                  * (np.asarray(z["v"]) @ np.asarray(w["v"][i]))
                  * (np.asarray(z["a"]) @ np.asarray(w["a"][i])))
     np.testing.assert_allclose(np.asarray(fused), want, rtol=1e-4, atol=1e-5)
+
+
+def test_mult_cross_attention_matches_naive_numpy():
+    """_xattn_layer's cross-attention core == a naive numpy computation
+    (pre-LN, per-head softmax over source keys, residual + FFN residual)."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.special import softmax as sp_softmax
+
+    from mmda_tpu.models import mult as m
+
+    rng = np.random.default_rng(5)
+    B, Tq, Tk, D, H = 2, 3, 4, 8, 2
+    p = m._xattn_layer_params(jax.random.PRNGKey(0), D)
+    x = jnp.asarray(rng.normal(size=(B, Tq, D)), jnp.float32)
+    src = jnp.asarray(rng.normal(size=(B, Tk, D)), jnp.float32)
+    src_bias = jnp.asarray([[0, 0, 0, -1e9], [0, 0, -1e9, -1e9]], jnp.float32)
+
+    got = np.asarray(m._xattn_layer(p, x, src, src_bias, H, 0.0, True, None))
+
+    def ln(pp, v):
+        mu = v.mean(-1, keepdims=True)
+        var = ((v - mu) ** 2).mean(-1, keepdims=True)
+        return (v - mu) / np.sqrt(var + 1e-5) * np.asarray(pp["scale"]) + np.asarray(pp["bias"])
+
+    def lin(pp, v):
+        return v @ np.asarray(pp["kernel"]) + np.asarray(pp["bias"])
+
+    xq = ln(p["ln_q"], np.asarray(x))
+    xk = ln(p["ln_kv"], np.asarray(src))
+    q = lin(p["q"], xq).reshape(B, Tq, H, D // H)
+    k = lin(p["k"], xk).reshape(B, Tk, H, D // H)
+    v = lin(p["v"], xk).reshape(B, Tk, H, D // H)
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D // H)
+    logits = logits + np.asarray(src_bias)[:, None, None, :]
+    probs = sp_softmax(logits, axis=-1)
+    ctx = np.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Tq, D)
+    want = np.asarray(x) + lin(p["out"], ctx)
+    h = ln(p["ln_ffn"], want)
+    h = lin(p["ffn2"], np.maximum(lin(p["ffn1"], h), 0.0))
+    want = want + h
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
