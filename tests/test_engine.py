@@ -222,12 +222,15 @@ def test_trainer_resume(tmp_path):
     assert int(tr2.state.step) == step_before  # restored full state
 
 
-def test_compiled_eval_epoch_matches_per_batch_eval(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("data_name", ["mosei", "mosi"])
+def test_compiled_eval_epoch_matches_per_batch_eval(tmp_path, data_name):
     """The scanned eval epoch must aggregate to EXACTLY the same eval loss,
     accuracy, and prediction arrays as the per-batch path (they share the
-    step body; this pins the stacking/grouping/index mapping)."""
-    import jax
-
+    step body; this pins the stacking/grouping/index mapping) — for both the
+    classification and regression tasks."""
     from mmda_tpu.data.synthetic import make_dataset
 
     data = make_dataset(num_train=48, num_dev=36, num_test=20, max_len=12,
@@ -236,8 +239,8 @@ def test_compiled_eval_epoch_matches_per_batch_eval(tmp_path):
     cfg = Config(hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
                  embedding_size=8, compute_dtype="float32", use_bert=False,
                  batch_size=8, bucket_sizes=(8, 12), max_seq_len=12,
-                 n_epoch=1, log_sinks=(), data="mosei", name="eveq",
-                 ckpt_dir=str(tmp_path), compiled_epoch=True)
+                 n_epoch=1, log_sinks=(), data=data_name, name="eveq",
+                 ckpt_dir=str(tmp_path), compiled_eval=True)
     tr = Trainer(cfg, data, use_mesh=False)
 
     loss_c, acc_c, preds_c, truths_c = tr.evaluate("dev")
