@@ -64,7 +64,9 @@ def main():
         print(f"epoch {int(h['epoch'])}: train {h['epoch_time_s']:8.2f} s  "
               f"total {h['epoch_total_time_s']:8.2f} s (incl. dev eval + "
               f"ckpt dispatch)  train_loss {h['train_loss']:.4f}")
-    steady = hist[-1]
+    # the FINAL epoch always saves the resume checkpoint (loop exit), so use
+    # the second-to-last epoch as the checkpoint-free steady state
+    steady = hist[-2] if len(hist) > 1 else hist[-1]
     torch_cpu_epoch_s = 16326 / 2.82   # train-only torch-CPU baseline
     tt = steady["epoch_total_time_s"]
     print(f"\nsteady-state: train {steady['epoch_time_s']:.2f} s "

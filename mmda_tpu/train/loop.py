@@ -284,14 +284,20 @@ class Trainer:
 
             valid_loss, valid_acc, preds, truths = self.evaluate("dev")
 
-            # resume checkpoint: every ckpt_interval epochs (and the final
-            # one), async, atomic.  Serializing the full TrainState is host
-            # CPU-bound (~minutes for bert-base+Adam on a 1-core host), so
-            # the interval lets long jobs amortize it.
-            if e % cfg.ckpt_interval == 0 or e == cfg.n_epoch - 1:
+            # resume checkpoint: every ckpt_interval epochs AND on every loop
+            # exit (final epoch, preemption, early stop - see save_last calls
+            # at those breaks), async, atomic.  Serializing the full
+            # TrainState is host CPU-bound (~minutes for bert-base+Adam on a
+            # 1-core host), so the interval lets long jobs amortize it.
+            def save_last(epoch_idx, vloss):
+                self._last_saved_epoch = epoch_idx
                 pending.append(ckpt.save_checkpoint(
                     cfg.ckpt_dir, f"last_{cfg.name}", self.state,
-                    {"epoch": e, "valid_loss": valid_loss}, async_write=True))
+                    {"epoch": epoch_idx, "valid_loss": vloss},
+                    async_write=True))
+
+            if (e + 1) % cfg.ckpt_interval == 0 or e == cfg.n_epoch - 1:
+                save_last(e, valid_loss)
 
             # ReduceLROnPlateau semantics (reference creates-but-never-steps,
             # src/solver.py:100: factor 0.5, patience 5, min_lr 1e-6)
@@ -333,6 +339,8 @@ class Trainer:
                         self.state = self.state._replace(params=best_params)
                     if num_trials <= 0:
                         self.logger.log({"early_stop_epoch": e})
+                        if getattr(self, "_last_saved_epoch", -1) != e:
+                            save_last(e, valid_loss)   # don't lose interval epochs
                         break
 
             # epoch_time_s covers the TRAIN loop only; epoch_total_time_s is
@@ -359,6 +367,9 @@ class Trainer:
 
             if preempted["flag"]:
                 self.logger.log({"preempted_at_epoch": e})
+                if getattr(self, "_last_saved_epoch", -1) != e:
+                    # the preemption guarantee: never lose interval epochs
+                    save_last(e, valid_loss)
                 break
 
         for sig, h in old_handlers.items():
@@ -475,23 +486,41 @@ class Trainer:
                 preds.append(out_i["labels"][w])
                 truths.append(np.asarray(host_batch["emo_label"])[w])
 
+        def eval_one_host_batch(host_batch):
+            batch = Batch(**{
+                k: (jnp.asarray(v) if v is not None else None)
+                for k, v in host_batch.items()
+            })
+            accumulate(jax.device_get(self.eval_step(params, batch)),
+                       host_batch)
+
         if self.eval_epoch is not None and self.mesh is None:
-            # compiled eval epoch: stack same-shape batches, scan them in ONE
-            # dispatch, read everything back in ONE transfer per bucket group
-            # (each per-batch dispatch+readback costs ~60-90 ms through the
-            # relay; this removed most of the epoch-level eval time)
+            # compiled eval epoch: stack same-shape batches and scan them in
+            # FIXED-length chunks of scan_chunk — one dispatch + one readback
+            # per chunk (each per-batch dispatch+readback costs ~60-90 ms
+            # through the relay).  The fixed chunk length keeps the compiled
+            # program count bounded at one per (bucket, scan_chunk) even when
+            # splits have different batch counts (the scan length is baked
+            # into the XLA program); remainder batches reuse the per-batch
+            # eval step.
+            C = max(self.cfg.scan_chunk, 1)
             for group in loader.host_batches_grouped().values():
-                # stack on HOST, one transfer per field (a device-side stack
-                # would cost len(group) transfers + a concat dispatch per
-                # field through the relay)
-                stacked = Batch(**{
-                    k: (jnp.asarray(np.stack([a[k] for a in group]))
-                        if group[0][k] is not None else None)
-                    for k in group[0]
-                })
-                outs = jax.device_get(self.eval_epoch(params, stacked))
-                for i, host_batch in enumerate(group):
-                    accumulate({k: v[i] for k, v in outs.items()}, host_batch)
+                for i0 in range(0, len(group) - len(group) % C, C):
+                    chunk = group[i0:i0 + C]
+                    # stack on HOST, one transfer per field (a device-side
+                    # stack would cost len(chunk) transfers + a concat
+                    # dispatch per field through the relay)
+                    stacked = Batch(**{
+                        k: (jnp.asarray(np.stack([a[k] for a in chunk]))
+                            if chunk[0][k] is not None else None)
+                        for k in chunk[0]
+                    })
+                    outs = jax.device_get(self.eval_epoch(params, stacked))
+                    for i, host_batch in enumerate(chunk):
+                        accumulate({k: v[i] for k, v in outs.items()},
+                                   host_batch)
+                for host_batch in group[len(group) - len(group) % C:]:
+                    eval_one_host_batch(host_batch)
         else:
             for batch in loader:
                 out = self.eval_step(params, batch)

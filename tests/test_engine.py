@@ -240,7 +240,7 @@ def test_compiled_eval_epoch_matches_per_batch_eval(tmp_path, data_name):
                  embedding_size=8, compute_dtype="float32", use_bert=False,
                  batch_size=8, bucket_sizes=(8, 12), max_seq_len=12,
                  n_epoch=1, log_sinks=(), data=data_name, name="eveq",
-                 ckpt_dir=str(tmp_path), compiled_eval=True)
+                 ckpt_dir=str(tmp_path), compiled_eval=True, scan_chunk=2)
     tr = Trainer(cfg, data, use_mesh=False)
 
     loss_c, acc_c, preds_c, truths_c = tr.evaluate("dev")

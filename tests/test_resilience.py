@@ -129,8 +129,8 @@ def test_resume_across_prng_impl_change(tmp_path, monkeypatch):
 
 
 def test_ckpt_interval_skips_and_final_epoch_saves(tmp_path):
-    """ckpt_interval=3 with n_epoch=4: last_* saved at epochs 0, 3 (final)
-    only; best-on-dev exports unaffected; resume still works."""
+    """ckpt_interval=3 with n_epoch=4: last_* saved at epochs 2 ((e+1)%3==0)
+    and 3 (final) only; best-on-dev exports unaffected; resume still works."""
     import os
 
     from mmda_tpu.train import checkpoint as ckpt_mod
@@ -150,16 +150,14 @@ def test_ckpt_interval_skips_and_final_epoch_saves(tmp_path):
         saves.append(name)
         return orig(ckpt_dir, name, state, meta, **kw)
 
-    ckpt_mod.save_checkpoint, save = spy, ckpt_mod.save_checkpoint
+    # loop.py imports the checkpoint MODULE, so one patch covers both
+    ckpt_mod.save_checkpoint = spy
     try:
-        import mmda_tpu.train.loop as loop_mod
-        loop_mod.ckpt.save_checkpoint = spy
         Trainer(cfg, data, use_mesh=False).train()
     finally:
-        ckpt_mod.save_checkpoint = save
-        loop_mod.ckpt.save_checkpoint = save
+        ckpt_mod.save_checkpoint = orig
     last_saves = [s for s in saves if s.startswith("last_")]
-    assert len(last_saves) == 2            # epochs 0 and 3 only
+    assert len(last_saves) == 2            # epochs 2 and 3 only
     assert os.path.exists(os.path.join(str(tmp_path), "last_ckint.msgpack"))
 
     tr = Trainer(cfg.replace(resume=True), data, use_mesh=False)
