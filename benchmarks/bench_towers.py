@@ -64,12 +64,15 @@ def main():
     def make_loss(mode):
         def loss(p, seed):
             if mode in ("fused", "fused_remat"):
+                prev_remat = bilstm._SCAN_REMAT
                 bilstm.set_scan_remat(mode == "fused_remat")
                 try:
                     v = extract_xla(p["v"], xv + seed, lv, fused=True)
                     a = extract_xla(p["a"], xa + seed, la, fused=True)
                 finally:
-                    bilstm.set_scan_remat(True)
+                    # restore the PRIOR value (ADVICE r2: hardcoding True left
+                    # the process-global flag on after the 'fused' mode)
+                    bilstm.set_scan_remat(prev_remat)
             elif mode == "pallas_multi":
                 v, a = bilstm.extract_features_pair(
                     p["v"], p["a"], xv + seed, xa + seed, lv, la,

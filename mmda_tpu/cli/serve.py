@@ -79,8 +79,11 @@ def make_handler(server, default_timeout_s: float):
                 })
             except TimeoutError:
                 self._reply(504, {"error": "request timed out"})
-            except Exception as e:  # surface as a 400, keep serving
-                self._reply(400, {"error": str(e)})
+            except Exception as e:  # surface as a 4xx, keep serving
+                from mmda_tpu.serving import RequestTooLongError
+
+                code = 413 if isinstance(e, RequestTooLongError) else 400
+                self._reply(code, {"error": str(e)})
 
         def log_message(self, fmt, *args):  # quiet access log
             pass

@@ -329,7 +329,10 @@ def load_hf_weights(model_dir: str, cfg: Optional[BertConfig] = None) -> Dict:
     elif os.path.exists(pt_path):
         import torch
 
-        sd = {k: v.numpy() for k, v in torch.load(pt_path, map_location="cpu").items()}
+        # weights_only: a pytorch_model.bin is a pickle — without this flag,
+        # loading an untrusted checkpoint is arbitrary code execution.
+        sd = {k: v.numpy() for k, v in
+              torch.load(pt_path, map_location="cpu", weights_only=True).items()}
     else:
         raise FileNotFoundError(f"no bert weights under {model_dir}")
 

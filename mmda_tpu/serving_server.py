@@ -27,7 +27,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from mmda_tpu.serving import Predictor
+from mmda_tpu.serving import Predictor, validate_request
 
 
 class _Pending:
@@ -62,7 +62,13 @@ class PredictionServer:
 
     def submit(self, request: Dict, timeout_s: Optional[float] = None) -> Future:
         """Enqueue one request dict (same schema as Predictor.__call__ rows).
-        Returns a Future resolving to that row's result dict."""
+        Returns a Future resolving to that row's result dict.
+
+        Raises ValueError immediately on a malformed request (e.g. missing
+        'text') so bad input fails at the submitting caller, not inside the
+        shared batching worker (ADVICE r2 high: a TypeError there killed the
+        worker thread and wedged every later request)."""
+        validate_request(request)
         timeout = timeout_s if timeout_s is not None else self._default_timeout
         deadline = (time.monotonic() + timeout) if timeout else None
         fut: Future = Future()
@@ -153,12 +159,19 @@ class PredictionServer:
                     continue
                 live.append(p)
             # group by bucket so one long request doesn't pad every short one
-            # up to its bucket (each group hits an already-warm program)
+            # up to its bucket (each group hits an already-warm program).
+            # Defense in depth: submit() validated the request, but anything
+            # that still fails here fails ONLY its own future — an exception
+            # on this worker thread would strand every queued caller.
             groups: Dict[int, list] = {}
             for p in live:
-                text = p.request.get("text")
-                n = len(text.split()) if isinstance(text, str) else len(text)
-                groups.setdefault(self._predictor._bucket(n), []).append(p)
+                try:
+                    text = p.request.get("text")
+                    n = len(text.split()) if isinstance(text, str) else len(text)
+                    groups.setdefault(self._predictor._bucket(n), []).append(p)
+                except Exception as e:
+                    if not p.future.done():
+                        p.future.set_exception(e)
             for _, grp in sorted(groups.items()):
                 try:
                     result = self._predictor([p.request for p in grp])

@@ -444,7 +444,8 @@ class Trainer:
         frozen = jax.tree_util.tree_map(lambda _: True, best_params)
         frozen["confidence"] = jax.tree_util.tree_map(
             lambda _: False, best_params["confidence"])
-        tx2 = make_optimizer(cfg, frozen)
+        tx2 = make_optimizer(cfg, frozen,
+                             steps_per_epoch=max(len(train_loader), 1))
         state = create_train_state(cfg, best_params, self.state.rng, frozen)
         step2 = make_train_step(cfg, tx2, self.forward_fn, self.bert_cfg,
                                 conf_only=True, frozen=frozen)

@@ -33,13 +33,19 @@ class TrainState(NamedTuple):
 def _base_optimizer(cfg: Config, steps_per_epoch: Optional[int] = None
                     ) -> optax.GradientTransformation:
     lr = cfg.learning_rate
-    if cfg.lr_schedule == "exponential" and steps_per_epoch:
+    if cfg.lr_schedule in ("exponential", "cosine") and not steps_per_epoch:
+        # Silently falling back to a constant lr would ignore a schedule the
+        # user explicitly requested (ADVICE r2): fail loudly instead.
+        raise ValueError(
+            f"lr_schedule={cfg.lr_schedule!r} needs steps_per_epoch to size "
+            "its decay horizon; pass steps_per_epoch=len(train_loader)")
+    if cfg.lr_schedule == "exponential":
         # per-epoch staircase decay (the ExponentialLR the reference creates
         # but never steps, src/solver.py:122)
         lr = optax.exponential_decay(
             cfg.learning_rate, transition_steps=steps_per_epoch,
             decay_rate=cfg.lr_decay_rate, staircase=True, end_value=cfg.min_lr)
-    elif cfg.lr_schedule == "cosine" and steps_per_epoch:
+    elif cfg.lr_schedule == "cosine":
         # warmup + cosine decay to min_lr over the full run (net-new knob;
         # the standard production schedule the reference lacks entirely)
         total = max(steps_per_epoch * cfg.n_epoch, cfg.warmup_steps + 1)

@@ -69,7 +69,14 @@ def test_conf_loss_reference_inf_hazard_documented():
     assert np.isfinite(fixed)
 
 
-def test_serving_truncates_overlong_request():
+def test_serving_overlong_request_rejected_by_default_truncates_on_optout():
+    """VERDICT r2 weak #6: an over-length request must be REJECTED by default
+    (RequestTooLongError -> HTTP 413) instead of silently scoring a prefix;
+    overflow='truncate' opts back into the old behavior."""
+    import pytest
+
+    from mmda_tpu.serving import RequestTooLongError
+
     cfg = Config(
         hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
         embedding_size=8, compute_dtype="float32", use_bert=False,
@@ -77,7 +84,6 @@ def test_serving_truncates_overlong_request():
     )
     init_fn, _ = get_model("MISA")
     params = init_fn(jax.random.PRNGKey(0), cfg)
-    pred = Predictor(cfg, params=params, max_batch=4)
     L_req = 20   # longer than the biggest bucket (8)
     r = {
         "text": RNG.integers(2, 64, size=L_req).astype(np.int32),
@@ -87,9 +93,53 @@ def test_serving_truncates_overlong_request():
         "bert_type": np.zeros(L_req + 2, np.int32),
         "bert_mask": np.ones(L_req + 2, np.int32),
     }
-    out = pred([r])
+    pred = Predictor(cfg, params=params, max_batch=4)
+    with pytest.raises(RequestTooLongError, match="20 tokens"):
+        pred([r])
+    pred_trunc = Predictor(cfg, params=params, max_batch=4,
+                           overflow="truncate")
+    out = pred_trunc([r])
     assert out["scores"].shape == (1, 6)
     assert np.isfinite(out["scores"]).all()
+
+
+def test_serving_rejects_malformed_request_without_text():
+    """ADVICE r2 high: a {} request must raise at the caller, and the
+    PredictionServer worker must survive a malformed co-batched request."""
+    import pytest
+
+    from mmda_tpu.serving_server import PredictionServer
+
+    cfg = Config(
+        hidden_size=16, visual_size=5, acoustic_size=6, vocab_size=64,
+        embedding_size=8, compute_dtype="float32", use_bert=False,
+        bucket_sizes=(4,), max_seq_len=4,
+    )
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    pred = Predictor(cfg, params=params, max_batch=2)
+    with pytest.raises(ValueError, match="missing 'text'"):
+        pred([{}])
+    with pytest.raises(ValueError, match="sized array"):
+        pred([{"text": 7}])
+
+    srv = PredictionServer(pred, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="missing 'text'"):
+            srv.submit({"visual": np.zeros((3, 5), np.float32)})
+        # the worker must still serve good requests afterwards
+        good = {
+            "text": np.ones(3, np.int32),
+            "visual": np.zeros((3, 5), np.float32),
+            "acoustic": np.zeros((3, 6), np.float32),
+            "bert_ids": np.ones(5, np.int32),
+            "bert_type": np.zeros(5, np.int32),
+            "bert_mask": np.ones(5, np.int32),
+        }
+        out = srv.predict(good, timeout_s=60.0)
+        assert np.isfinite(out["scores"]).all()
+    finally:
+        srv.close()
 
 
 def test_single_bucket_single_example_train_step():

@@ -1,0 +1,60 @@
+"""Round-3 regression tests for VERDICT/ADVICE round-2 findings:
+
+  * dryrun_multichip FAILS LOUDLY when the backend cannot provision
+    n devices (VERDICT weak #2: the round-2 degrade path would have let the
+    driver record ok=true having tested nothing multichip);
+  * lr_schedule cosine/exponential without steps_per_epoch raises instead of
+    silently running a constant lr (ADVICE low).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_raises_when_backend_preinitialized():
+    """Simulate the driver importing jax (1-device CPU backend) BEFORE calling
+    dryrun_multichip(8): the call must raise, not degrade to a 1x1 mesh."""
+    code = (
+        "import os, sys\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ.pop('XLA_FLAGS', None)\n"
+        "sys.path.insert(0, %r)\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"  # backend now locked
+        "import __graft_entry__ as g\n"
+        "try:\n"
+        "    g.dryrun_multichip(8)\n"
+        "except RuntimeError as e:\n"
+        "    assert 'Refusing to degrade' in str(e), e\n"
+        "    print('RAISED_AS_EXPECTED')\n"
+        "else:\n"
+        "    print('SILENT_PASS')\n"
+        "    sys.exit(1)\n"
+    ) % REPO
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # keep the axon site off the path so this subprocess stays CPU-only and
+    # cannot grab the TPU tunnel from under a concurrently running job
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, timeout=300)
+    assert "RAISED_AS_EXPECTED" in out.stdout, (out.stdout, out.stderr)
+    assert out.returncode == 0, (out.stdout, out.stderr)
+
+
+def test_cosine_without_steps_per_epoch_raises():
+    from mmda_tpu.config import Config
+    from mmda_tpu.train.state import make_optimizer
+
+    for sched in ("cosine", "exponential"):
+        cfg = Config(lr_schedule=sched)
+        with pytest.raises(ValueError, match="steps_per_epoch"):
+            make_optimizer(cfg)
+        make_optimizer(cfg, steps_per_epoch=10)  # and this must not raise
