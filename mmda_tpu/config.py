@@ -195,6 +195,18 @@ class Config:
                                   # serialization is minutes of CPU, so bulk
                                   # jobs may amortize it (best-on-dev exports
                                   # are unaffected and always saved).
+    ckpt_incremental: bool = True # resume (last_*) snapshots save only the
+                                  # TRAINABLE leaves + opt state + step/rng;
+                                  # frozen leaves (e.g. BERT layers <= 8 on
+                                  # mosei) are written ONCE to a content-
+                                  # addressed base file.  Cuts the measured
+                                  # 24-62 s/save (benchmarks/RESULTS.md) by
+                                  # skipping ~60% of the bytes every interval.
+    ckpt_backend: str = "msgpack" # msgpack|orbax.  orbax = sharded/elastic
+                                  # checkpointing (train/checkpoint_sharded.py):
+                                  # each host writes only its addressable
+                                  # shards; restore may target a different
+                                  # mesh shape.
     # Serving (cli/serve.py)
     port: int = 8321              # HTTP serving port
     vocab_file: Optional[str] = None  # BERT vocab.txt for raw-text requests
@@ -330,6 +342,8 @@ class Config:
                 f"mult_d={self.mult_d} must be even (sinusoidal positions)")
         if self.ckpt_interval < 1:
             raise ValueError(f"ckpt_interval must be >= 1, got {self.ckpt_interval}")
+        if self.ckpt_backend not in ("msgpack", "orbax"):
+            raise ValueError(f"bad ckpt_backend {self.ckpt_backend!r}")
         if self.lr_schedule not in ("none", "exponential", "plateau", "cosine"):
             raise ValueError(f"bad lr_schedule {self.lr_schedule!r}")
 

@@ -14,11 +14,12 @@ Serialization: flax msgpack (framework-native, no pickle of arbitrary code).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
 import threading
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -26,7 +27,11 @@ from flax import serialization
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # ONE batched device->host transfer for the whole pytree: per-leaf
+    # np.asarray costs a ~32 ms relay round trip EACH through the axon
+    # tunnel (benchmarks/RESULTS.md), i.e. seconds for a TrainState with
+    # hundreds of leaves.  jax.device_get batches them.
+    return jax.device_get(tree)
 
 
 # One lock per checkpoint path: two async saves of the same name (e.g. a slow
@@ -106,6 +111,133 @@ def save_checkpoint(
         return t
     write()
     return None
+
+
+# ---------------------------------------------------------------------------
+# Incremental checkpointing: frozen base written once, trainable deltas per
+# interval (VERDICT r2 weak #5: full-TrainState saves burned 24-62 s/save
+# re-serializing frozen BERT weights that never change)
+# ---------------------------------------------------------------------------
+
+_FROZEN_BASE_FMT = "frozen_base_{digest}.msgpack"
+# Cache the base digest per (ckpt_dir, name): frozen leaves are immutable for
+# the life of a run (the optimizer applies set_to_zero updates), so the
+# expensive read-back + hash of the base happens ONCE per process.
+_base_digest_cache: Dict[str, str] = {}
+
+
+def _path_leaves(tree: Any):
+    """[(keystr(path), leaf), ...] in flatten order."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return [(jax.tree_util.keystr(path), leaf) for path, leaf in flat]
+
+
+def _split_params(params: Any, frozen: Any) -> Tuple[Dict, Dict]:
+    """Split params into ({path: trainable_leaf}, {path: frozen_leaf}) using
+    the bool pytree `frozen` (same structure, True == frozen)."""
+    p = _path_leaves(params)
+    f = jax.tree_util.tree_leaves(frozen)
+    assert len(p) == len(f), "frozen mask must mirror the param structure"
+    trainable = {k: v for (k, v), fz in zip(p, f) if not fz}
+    frozen_leaves = {k: v for (k, v), fz in zip(p, f) if fz}
+    return trainable, frozen_leaves
+
+
+def save_checkpoint_incremental(
+    ckpt_dir: str,
+    name: str,
+    state: Any,
+    frozen: Any,
+    metadata: Optional[Dict] = None,
+    async_write: bool = False,
+) -> threading.Thread | None:
+    """Save a TrainState as (one-time content-addressed frozen base) +
+    (per-interval delta of trainable leaves, opt state, step, rng).
+
+    The delta lands at {name}.inc.msgpack (+ .json metadata recording the
+    base digest); the base at frozen_base_{digest}.msgpack, written only if
+    absent.  Load with load_checkpoint_incremental and the same frozen mask.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    trainable, frozen_leaves = _split_params(state.params, frozen)
+
+    cache_key = os.path.join(ckpt_dir, name)
+    base_digest = _base_digest_cache.get(cache_key)
+    base_payload = None
+    if base_digest is None and frozen_leaves:
+        base_bytes = serialization.to_bytes(_to_host(frozen_leaves))
+        base_digest = hashlib.sha256(base_bytes).hexdigest()[:16]
+        base_path = os.path.join(
+            ckpt_dir, _FROZEN_BASE_FMT.format(digest=base_digest))
+        if not os.path.exists(base_path):
+            base_payload = (base_path, base_bytes)
+        _base_digest_cache[cache_key] = base_digest
+
+    delta = {
+        "trainable": trainable,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "rng": state.rng,
+    }
+    payload = serialization.to_bytes(_to_host(delta))
+    meta = dict(metadata or {})
+    meta["incremental"] = True
+    meta["base_digest"] = base_digest
+
+    path = os.path.join(ckpt_dir, f"{name}.inc.msgpack")
+    seq = _next_seq(path)
+
+    def write():
+        if base_payload is not None:
+            _atomic_write(*base_payload)   # base commits before any delta
+        with _lock_for(path):
+            if _committed_seq.get(path, 0) > seq:
+                return
+            _committed_seq[path] = seq
+            _atomic_write(path, payload)
+            _atomic_write(
+                os.path.join(ckpt_dir, f"{name}.inc.json"),
+                json.dumps(meta, indent=2, default=str).encode())
+
+    if async_write:
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        return t
+    write()
+    return None
+
+
+def incremental_checkpoint_exists(ckpt_dir: str, name: str) -> bool:
+    return os.path.exists(os.path.join(ckpt_dir, f"{name}.inc.msgpack"))
+
+
+def load_checkpoint_incremental(ckpt_dir: str, name: str, template: Any,
+                                frozen: Any) -> Any:
+    """Restore a TrainState saved by save_checkpoint_incremental.  `template`
+    is a TrainState with the target structure/shapes (frozen leaves are taken
+    from the recorded base file; trainable leaves, opt state, step and rng
+    from the delta)."""
+    with open(os.path.join(ckpt_dir, f"{name}.inc.json")) as f:
+        meta = json.load(f)
+
+    t_trainable, t_frozen = _split_params(template.params, frozen)
+    with open(os.path.join(ckpt_dir, f"{name}.inc.msgpack"), "rb") as f:
+        delta = serialization.from_bytes(
+            {"trainable": t_trainable, "opt_state": template.opt_state,
+             "step": template.step, "rng": template.rng}, f.read())
+
+    merged = dict(delta["trainable"])
+    if t_frozen:
+        base_path = os.path.join(
+            ckpt_dir, _FROZEN_BASE_FMT.format(digest=meta["base_digest"]))
+        with open(base_path, "rb") as f:
+            merged.update(serialization.from_bytes(t_frozen, f.read()))
+
+    flat = jax.tree_util.tree_flatten_with_path(template.params)
+    leaves = [merged[jax.tree_util.keystr(path)] for path, _ in flat[0]]
+    params = jax.tree_util.tree_unflatten(flat[1], leaves)
+    return type(template)(step=delta["step"], params=params,
+                          opt_state=delta["opt_state"], rng=delta["rng"])
 
 
 def load_checkpoint(ckpt_dir: str, name: str, template: Any) -> Any:
