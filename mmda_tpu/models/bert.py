@@ -46,6 +46,15 @@ class BertConfig:
     gelu_exact: bool = True       # erf GELU (HF parity); False = tanh approx
     ln_fp32: bool = True          # LayerNorm statistics in fp32 (parity);
                                   # False computes in the activation dtype
+    dropout_recompute: bool = False  # custom-vjp dropout: save only the PRNG
+                                  # key and REGENERATE the mask in the
+                                  # backward instead of materializing ~80 MB
+                                  # of masks per step as autodiff residuals
+                                  # (identical numerics - same key, same mask)
+    remat: bool = False           # jax.checkpoint each encoder layer:
+                                  # recompute the layer forward during the
+                                  # backward instead of saving activations
+                                  # (trades ~1/3 more FLOPs for HBM traffic)
 
     @staticmethod
     def base() -> "BertConfig":
@@ -136,6 +145,44 @@ def _dropout(key, x, rate, deterministic):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dropout_recompute(key, x, rate):
+    """Dropout whose backward REGENERATES the mask from the key instead of
+    saving it: autodiff of plain _dropout keeps the (B,S,H)/(B*nh,S,S) bool
+    mask of every one of the 36 dropout sites as a residual (~80 MB written
+    in the forward and re-read in the backward per step at B=64/T=48).  The
+    PRNG is deterministic, so the residual can be 2 ints instead.  Numerics
+    are IDENTICAL to _dropout (same key -> same mask)."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _dropout_recompute_fwd(key, x, rate):
+    return _dropout_recompute(key, x, rate), key
+
+
+def _dropout_recompute_bwd(rate, key, g):
+    keep = jax.random.bernoulli(key, 1.0 - rate, g.shape)
+    return (None, jnp.where(keep, g / (1.0 - rate), 0.0).astype(g.dtype))
+
+
+_dropout_recompute.defvjp(_dropout_recompute_fwd, _dropout_recompute_bwd)
+
+
+def _make_dropout(cfg: "BertConfig"):
+    if cfg.dropout_recompute:
+        def drop(key, x, rate, deterministic):
+            if deterministic or rate == 0.0:
+                return x
+            return _dropout_recompute(key, x, rate)
+
+        return drop
+    return _dropout
+
+
 def bert_encode(
     params: Dict,
     cfg: BertConfig,
@@ -185,16 +232,19 @@ def bert_encode(
     x = _layer_norm(params["embeddings"]["ln"], emb, cfg.layer_norm_eps,
                     cfg.ln_fp32).astype(compute_dtype)
 
+    dropout = _make_dropout(cfg)
     if not deterministic:
         rngs = jax.random.split(dropout_rng, 3 * cfg.num_layers + 1)
-        x = _dropout(rngs[0], x, cfg.hidden_dropout, deterministic)
+        x = dropout(rngs[0], x, cfg.hidden_dropout, deterministic)
 
     # additive mask: 0 for real tokens, -1e9 (bf16-safe large negative) for pads
     neg = jnp.asarray(-1e9, jnp.float32)
     attn_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * neg
 
     scale = 1.0 / np.sqrt(hd)
-    for i, lp in enumerate(params["layers"]):
+
+    def one_layer(x, lp, layer_rngs):
+        r_attn, r_post, r_ffn = layer_rngs
         # fused QKV: one (B*S, H) x (H, 3H) MXU matmul instead of three.
         # Params stay separate (HF-load / freezing / TP-spec compatibility);
         # the concat is a cheap per-layer weight reshape XLA hoists.
@@ -231,8 +281,8 @@ def bert_encode(
             logits = logits + bias_p
             probs = jax.nn.softmax(logits, axis=-1)
             if not deterministic:
-                probs = _dropout(rngs[3 * i + 1], probs, cfg.attention_dropout,
-                                 deterministic)
+                probs = dropout(r_attn, probs, cfg.attention_dropout,
+                                deterministic)
             ctx = jax.lax.dot_general(
                 probs.astype(compute_dtype), vp, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32).astype(compute_dtype)[:, :S]
@@ -246,7 +296,7 @@ def bert_encode(
             rate = 0.0 if deterministic else cfg.attention_dropout
             if rate > 0.0:
                 seed = jax.random.randint(
-                    rngs[3 * i + 1], (1,), 0, np.iinfo(np.int32).max,
+                    r_attn, (1,), 0, np.iinfo(np.int32).max,
                     dtype=jnp.int32)
             else:
                 seed = jnp.zeros((1,), jnp.int32)
@@ -272,15 +322,15 @@ def bert_encode(
             logits = logits + jnp.repeat(attn_bias[:, 0], nh, axis=0)
             probs = jax.nn.softmax(logits, axis=-1)
             if not deterministic:
-                probs = _dropout(rngs[3 * i + 1], probs, cfg.attention_dropout,
-                                 deterministic)
+                probs = dropout(r_attn, probs, cfg.attention_dropout,
+                                deterministic)
             ctx = jax.lax.dot_general(
                 probs.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32).astype(compute_dtype)
             ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
         attn = _apply_dense(lp["attn_out"], ctx, compute_dtype)
         if not deterministic:
-            attn = _dropout(rngs[3 * i + 2], attn, cfg.hidden_dropout, deterministic)
+            attn = dropout(r_post, attn, cfg.hidden_dropout, deterministic)
         x = _layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps,
                         cfg.ln_fp32).astype(compute_dtype)
 
@@ -291,9 +341,20 @@ def bert_encode(
             h = jax.nn.gelu(h, approximate=True)
         h = _apply_dense(lp["ffn_out"], h.astype(compute_dtype), compute_dtype)
         if not deterministic:
-            h = _dropout(rngs[3 * i + 3], h, cfg.hidden_dropout, deterministic)
+            h = dropout(r_ffn, h, cfg.hidden_dropout, deterministic)
         x = _layer_norm(lp["ffn_ln"], x + h, cfg.layer_norm_eps,
                         cfg.ln_fp32).astype(compute_dtype)
+        return x
+
+    # remat: recompute each layer's forward inside the backward instead of
+    # saving its activations (BertConfig.remat; measured in
+    # benchmarks/bench_bwd_parts.py before any default change)
+    layer_fn = jax.checkpoint(one_layer) if cfg.remat else one_layer
+    for i, lp in enumerate(params["layers"]):
+        layer_rngs = (
+            (rngs[3 * i + 1], rngs[3 * i + 2], rngs[3 * i + 3])
+            if not deterministic else (None, None, None))
+        x = layer_fn(x, lp, layer_rngs)
 
     return x
 

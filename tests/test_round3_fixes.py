@@ -58,3 +58,41 @@ def test_cosine_without_steps_per_epoch_raises():
         with pytest.raises(ValueError, match="steps_per_epoch"):
             make_optimizer(cfg)
         make_optimizer(cfg, steps_per_epoch=10)  # and this must not raise
+
+
+def test_dropout_recompute_and_remat_grad_equivalence():
+    """BertConfig.dropout_recompute (mask regenerated in bwd from the key)
+    and BertConfig.remat (per-layer checkpoint) must be NUMERICALLY IDENTICAL
+    to the baseline - same loss, same grads (same keys -> same masks)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mmda_tpu.models.bert import BertConfig, bert_encode, init_bert_params
+
+    base = BertConfig.tiny()
+    params = init_bert_params(jax.random.PRNGKey(0), base)
+    rng = np.random.default_rng(0)
+    ids = jnp.array(rng.integers(5, 128, size=(4, 10)), jnp.int32)
+    mask = jnp.ones((4, 10), jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    def loss(p, cfg):
+        out = bert_encode(p, cfg, ids, mask, deterministic=False,
+                          dropout_rng=key, compute_dtype=jnp.float32)
+        return jnp.sum(out ** 2)
+
+    import dataclasses
+
+    l0, g0 = jax.value_and_grad(loss)(params, base)
+    for variant in (
+        dataclasses.replace(base, dropout_recompute=True),
+        dataclasses.replace(base, remat=True),
+        dataclasses.replace(base, dropout_recompute=True, remat=True),
+    ):
+        l1, g1 = jax.value_and_grad(loss)(params, variant)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)
