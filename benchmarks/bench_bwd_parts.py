@@ -146,6 +146,15 @@ def main():
         "drop_recompute": lambda: run(
             "drop_recompute", 64,
             BertConfig(dropout_recompute=True)),
+        "drop_u8": lambda: run("drop_u8", 64, BertConfig(dropout_bits=8)),
+        # decomposition: which dropout site carries the ~6 ms?
+        "attn_drop_off": lambda: run("attn_drop_off", 64,
+                                     BertConfig(attention_dropout=0.0)),
+        "hidden_drop_off": lambda: run("hidden_drop_off", 64,
+                                       BertConfig(hidden_dropout=0.0)),
+        "drop_u8_recompute": lambda: run(
+            "drop_u8_recompute", 64,
+            BertConfig(dropout_bits=8, dropout_recompute=True)),
         "remat": lambda: run("remat", 64, BertConfig(remat=True)),
         "recompute_remat": lambda: run(
             "recompute_remat", 64,

@@ -102,6 +102,45 @@ def main():
     server.close()
     print("stats:", pred.stats)
 
+    # ---- p50/p99 latency under concurrent mixed-bucket load (round 3) ----
+    # 4 client threads each firing single requests whose lengths are drawn
+    # from a MOSEI-like gamma distribution across buckets 16/32/48; the
+    # micro-batching worker groups same-bucket requests.  Reported per-request
+    # latency percentiles are what an online caller experiences end-to-end.
+    cfg_mb = cfg.replace(bucket_sizes=(16, 32, 48))
+    pred_mb = Predictor(cfg_mb, params=params, bert_cfg=bert_cfg, max_batch=16,
+                        tokenizer=tok, word2id={})
+    server_mb = PredictionServer(pred_mb, max_wait_ms=5.0)
+    server_mb.warmup()
+    n_clients, n_per_client = 4, 40
+    lengths = np.clip(rng.gamma(2.2, 5.0, size=n_clients * n_per_client)
+                      .astype(int) + 2, 2, 48)
+    lat = []
+    lat_lock = threading.Lock()
+
+    def mixed_client(ci):
+        for j in range(n_per_client):
+            L = int(lengths[ci * n_per_client + j])
+            t0 = time.perf_counter()
+            server_mb.predict(req(L), timeout_s=120)
+            dt = time.perf_counter() - t0
+            with lat_lock:
+                lat.append(dt)
+
+    t0 = time.perf_counter()
+    ts = [threading.Thread(target=mixed_client, args=(i,))
+          for i in range(n_clients)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat_ms = np.sort(np.array(lat)) * 1e3
+    print(f"mixed_load   {len(lat) / wall:9.0f} req/s   p50={np.percentile(lat_ms, 50):7.1f} ms  "
+          f"p90={np.percentile(lat_ms, 90):7.1f} ms  p99={np.percentile(lat_ms, 99):7.1f} ms  "
+          f"({n_clients} clients x {n_per_client} reqs, buckets 16/32/48)")
+    server_mb.close()
+
 
 if __name__ == "__main__":
     main()

@@ -51,6 +51,13 @@ class BertConfig:
                                   # backward instead of materializing ~80 MB
                                   # of masks per step as autodiff residuals
                                   # (identical numerics - same key, same mask)
+    dropout_bits: int = 32        # random bits per dropout draw.  8 draws a
+                                  # uint8 per element (4x fewer PRNG words -
+                                  # mask GENERATION measured at ~6 ms/step of
+                                  # the B=64/T=48 step, bench_bwd_parts.py);
+                                  # keep probability quantizes to k/256 and
+                                  # the scale uses the EXACT realized k/256,
+                                  # so expectation stays unbiased
     remat: bool = False           # jax.checkpoint each encoder layer:
                                   # recompute the layer forward during the
                                   # backward instead of saving activations
@@ -172,7 +179,52 @@ def _dropout_recompute_bwd(rate, key, g):
 _dropout_recompute.defvjp(_dropout_recompute_fwd, _dropout_recompute_bwd)
 
 
+def _dropout_u8_mask(key, shape, rate):
+    """uint8-draw keep mask + its exact inverse-keep-probability scale.
+    k = round(256*(1-rate)) of the 256 uint8 values keep; scaling by 256/k
+    (not 1/(1-rate)) keeps E[dropout(x)] == x exactly."""
+    k = int(round((1.0 - rate) * 256))
+    k = min(max(k, 1), 255)
+    bits = jax.random.bits(key, shape, jnp.uint8)
+    return bits < jnp.uint8(k), 256.0 / k
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dropout_u8_recompute(key, x, rate):
+    keep, scale = _dropout_u8_mask(key, x.shape, rate)
+    return jnp.where(keep, x * scale, 0.0).astype(x.dtype)
+
+
+def _dropout_u8_recompute_fwd(key, x, rate):
+    return _dropout_u8_recompute(key, x, rate), key
+
+
+def _dropout_u8_recompute_bwd(rate, key, g):
+    keep, scale = _dropout_u8_mask(key, g.shape, rate)
+    return (None, jnp.where(keep, g * scale, 0.0).astype(g.dtype))
+
+
+_dropout_u8_recompute.defvjp(_dropout_u8_recompute_fwd,
+                             _dropout_u8_recompute_bwd)
+
+
 def _make_dropout(cfg: "BertConfig"):
+    if cfg.dropout_bits == 8:
+        if cfg.dropout_recompute:
+            def drop8r(key, x, rate, deterministic):
+                if deterministic or rate == 0.0:
+                    return x
+                return _dropout_u8_recompute(key, x, rate)
+
+            return drop8r
+
+        def drop8(key, x, rate, deterministic):
+            if deterministic or rate == 0.0:
+                return x
+            keep, scale = _dropout_u8_mask(key, x.shape, rate)
+            return jnp.where(keep, x * scale, 0.0).astype(x.dtype)
+
+        return drop8
     if cfg.dropout_recompute:
         def drop(key, x, rate, deterministic):
             if deterministic or rate == 0.0:

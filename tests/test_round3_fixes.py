@@ -96,3 +96,41 @@ def test_dropout_recompute_and_remat_grad_equivalence():
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_dropout_u8_semantics():
+    """dropout_bits=8: keep rate ~= 1-rate, scaling unbiased (E[out]==x), and
+    the recompute variant is bit-identical to the non-recompute one (same key
+    -> same mask) including its gradient."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mmda_tpu.models.bert import BertConfig, _make_dropout
+
+    rate = 0.1
+    key = jax.random.PRNGKey(3)
+    x = jnp.ones((256, 257), jnp.float32)
+
+    drop8 = _make_dropout(dataclasses.replace(BertConfig.tiny(),
+                                              dropout_bits=8))
+    y = drop8(key, x, rate, False)
+    kept = float(jnp.mean(y > 0))
+    assert abs(kept - 0.9) < 0.01                      # ~k/256 keep rate
+    assert abs(float(jnp.mean(y)) - 1.0) < 0.02       # unbiased scaling
+    # exact scale: 256/k for k = round(0.9*256) = 230
+    nz = np.unique(np.asarray(y)[np.asarray(y) > 0])
+    np.testing.assert_allclose(nz, [256.0 / 230], rtol=1e-6)
+
+    drop8r = _make_dropout(dataclasses.replace(
+        BertConfig.tiny(), dropout_bits=8, dropout_recompute=True))
+
+    def f(fn, x):
+        return jnp.sum(fn(key, x, rate, False) ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda x: f(drop8, x))(x)
+    v1, g1 = jax.value_and_grad(lambda x: f(drop8r, x))(x)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
