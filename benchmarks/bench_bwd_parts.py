@@ -162,6 +162,15 @@ def main():
         "attn_fused": lambda: run("attn_fused", 64, bb, attn="fused"),
         "gelu_tanh": lambda: run("gelu_tanh", 64,
                                  BertConfig(gelu_exact=False)),
+        "emb_onehot": lambda: run(
+            "emb_onehot", 64, BertConfig(embed_grad_matmul=True)),
+        "attn_bf16drop": lambda: run(
+            "attn_bf16drop", 64, BertConfig(attn_probs_bf16_dropout=True)),
+        # best-known composite candidate for the headline
+        "combo": lambda: run(
+            "combo", 64, BertConfig(dropout_bits=8, dropout_recompute=True,
+                                    embed_grad_matmul=True,
+                                    attn_probs_bf16_dropout=True)),
     }
     for v in variants:
         todo[v]()

@@ -62,6 +62,16 @@ class BertConfig:
                                   # recompute the layer forward during the
                                   # backward instead of saving activations
                                   # (trades ~1/3 more FLOPs for HBM traffic)
+    attn_probs_bf16_dropout: bool = False  # cast attention probs to the
+                                  # compute dtype BEFORE their dropout, so the
+                                  # dropped (B*nh,S,S) tensor materializes in
+                                  # bf16 instead of fp32 (half the bytes; the
+                                  # probs@v matmul consumed bf16 anyway)
+    embed_grad_matmul: bool = False  # word-embedding backward as a one-hot
+                                  # MXU matmul (one_hot(ids)^T @ d_emb)
+                                  # instead of XLA's scatter-add into the
+                                  # (30522, 768) table — scatters serialize
+                                  # on TPU; measured in bench_bwd_parts.py
 
     @staticmethod
     def base() -> "BertConfig":
@@ -182,7 +192,13 @@ _dropout_recompute.defvjp(_dropout_recompute_fwd, _dropout_recompute_bwd)
 def _dropout_u8_mask(key, shape, rate):
     """uint8-draw keep mask + its exact inverse-keep-probability scale.
     k = round(256*(1-rate)) of the 256 uint8 values keep; scaling by 256/k
-    (not 1/(1-rate)) keeps E[dropout(x)] == x exactly."""
+    (not 1/(1-rate)) keeps E[dropout(x)] == x exactly.
+
+    Measured-rejected alternative (benchmarks/RESULTS.md round-3 set 4):
+    bitcasting each uint32 PRNG word into FOUR mask bytes (true 4x fewer
+    generator words) ran SLOWER than this per-element draw (24.78 vs
+    23.46 ms/step) — the dropout cost is the apply/materialization
+    structure, not generator throughput."""
     k = int(round((1.0 - rate) * 256))
     k = min(max(k, 1), 255)
     bits = jax.random.bits(key, shape, jnp.uint8)
@@ -206,6 +222,31 @@ def _dropout_u8_recompute_bwd(rate, key, g):
 
 _dropout_u8_recompute.defvjp(_dropout_u8_recompute_fwd,
                              _dropout_u8_recompute_bwd)
+
+
+@jax.custom_vjp
+def _embed_lookup_matmul_grad(table, ids):
+    """Gather whose BACKWARD builds d_table as one_hot(ids)^T @ g on the MXU
+    instead of XLA's scatter-add (BertConfig.embed_grad_matmul)."""
+    return table[ids]
+
+
+def _embed_lookup_fwd(table, ids):
+    return table[ids], (ids, table.shape[0])
+
+
+def _embed_lookup_bwd(res, g):
+    ids, vocab = res
+    h = g.shape[-1]
+    # bf16 one-hot (0/1 are exact) and bf16 cotangent, fp32 accumulation on
+    # the MXU: half the one-hot HBM bytes vs fp32 at ~3-digit grad rounding
+    flat_g = g.reshape(-1, h).astype(jnp.bfloat16)
+    onehot = jax.nn.one_hot(ids.reshape(-1), vocab, dtype=jnp.bfloat16)
+    dtab = jnp.dot(onehot.T, flat_g, preferred_element_type=jnp.float32)
+    return dtab, None
+
+
+_embed_lookup_matmul_grad.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
 
 
 def _make_dropout(cfg: "BertConfig"):
@@ -276,8 +317,11 @@ def bert_encode(
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(input_ids)
 
+    word_tab = params["embeddings"]["word"]
+    word_emb = (_embed_lookup_matmul_grad(word_tab, input_ids)
+                if cfg.embed_grad_matmul else word_tab[input_ids])
     emb = (
-        params["embeddings"]["word"][input_ids]
+        word_emb
         + params["embeddings"]["position"][jnp.arange(S)][None, :, :]
         + params["embeddings"]["token_type"][token_type_ids]
     )
@@ -373,6 +417,8 @@ def bert_encode(
                 preferred_element_type=jnp.float32) * scale  # (B*nh, S, S)
             logits = logits + jnp.repeat(attn_bias[:, 0], nh, axis=0)
             probs = jax.nn.softmax(logits, axis=-1)
+            if cfg.attn_probs_bf16_dropout:
+                probs = probs.astype(compute_dtype)
             if not deterministic:
                 probs = dropout(r_attn, probs, cfg.attention_dropout,
                                 deterministic)

@@ -64,12 +64,26 @@ def _fwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
     c_fin_ref[:] = cT
 
 
+def _batch_block(B: int) -> int:
+    """Largest divisor of B that is <= 64: the whole (T, BB, ...) working set
+    must fit scoped VMEM.  B=64 (the production batch) stays a single block
+    (grid=1, bit-identical to the ungridded round-2 kernel); B=128/256 split
+    into 64-row blocks — the unblocked bwd kernel OOMs scoped VMEM at B=128
+    (27.4M > 16M limit, measured on v5e)."""
+    bb = min(B, 64)
+    while B % bb:
+        bb -= 1
+    return bb
+
+
 def _fwd_call(x_proj, w_hh_t, mask, reverse: bool):
     T, B, G = x_proj.shape
     H = G // 4
+    BB = _batch_block(B)
     kernel = functools.partial(_fwd_kernel, reverse=reverse)
     return pl.pallas_call(
         kernel,
+        grid=(B // BB,),
         out_shape=(
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),   # ys
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),   # cs
@@ -77,15 +91,19 @@ def _fwd_call(x_proj, w_hh_t, mask, reverse: bool):
             jax.ShapeDtypeStruct((B, H), jnp.float32),      # c_final
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BB, G), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BB, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BB, H), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BB, H), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=_interpret(),
     )(x_proj, w_hh_t, mask)
@@ -165,23 +183,45 @@ def _bwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
     dh0 = dh_fin_ref[:]
     dc0 = dc_fin_ref[:]
     jax.lax.fori_loop(0, T, step, (dh0, dc0))
-    dw_ref[:] = dw_acc[:]
+
+    # dw is one shared output block across the (sequential) batch-block grid:
+    # zero it on the first program, accumulate each block's contribution.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dw_ref[:] += dw_acc[:]
 
 
 def _bwd_call(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin, reverse: bool):
     T, B, G = x_proj.shape
     H = G // 4
+    BB = _batch_block(B)
     kernel = functools.partial(_bwd_kernel, reverse=reverse)
+
+    def bslice3(i):
+        return (0, i, 0)
+
     return pl.pallas_call(
         kernel,
+        grid=(B // BB,),
         out_shape=(
             jax.ShapeDtypeStruct((T, B, G), jnp.float32),   # dx_proj
             jax.ShapeDtypeStruct((H, G), jnp.float32),      # dw_hh_t
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        in_specs=[
+            pl.BlockSpec((T, BB, G), bslice3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BB, 1), bslice3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BB, H), bslice3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BB, H), bslice3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BB, H), bslice3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, BB, G), bslice3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((H, G), jnp.float32)],
         interpret=_interpret(),

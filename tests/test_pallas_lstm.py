@@ -117,3 +117,44 @@ def test_multi_kernel_grads_match_fallback():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
         g_multi, g_ref)
+
+
+@pytest.mark.parametrize("B", [6, 8])
+def test_batch_blocked_grid_matches_xla_scan(B):
+    """Round-3 batch-block grid (the unblocked bwd kernel OOMs scoped VMEM at
+    B=128 on v5e): force a multi-block grid by monkeypatching the block
+    picker, and pin fwd+grad equivalence across block boundaries."""
+    params = bilstm.rnn_params(jax.random.PRNGKey(1), 5, 4, "lstm")
+    p = params["fwd"]
+    T = 6
+    x = jnp.array(RNG.normal(size=(B, T, 5)).astype(np.float32))
+    lengths = jnp.array(([T, 2, 4, 1, 3, 6, 5, 2])[:B])
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    orig = plstm._batch_block
+    plstm._batch_block = lambda n: 2        # -> grid of B//2 blocks
+    try:
+        assert plstm._batch_block(B) == 2
+
+        def loss(p, x, use_pallas):
+            ys, h = bilstm._scan_direction(p, x, mask, "lstm", False,
+                                           use_pallas=use_pallas)
+            return jnp.sum(ys ** 2) + 3.0 * jnp.sum(
+                h * jnp.arange(h.size).reshape(h.shape))
+
+        ys_x, h_x = bilstm._scan_direction(p, x, mask, "lstm", False,
+                                           use_pallas=False)
+        ys_p, h_p = bilstm._scan_direction(p, x, mask, "lstm", False,
+                                           use_pallas=True)
+        np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x),
+                                   rtol=1e-5, atol=1e-5)
+        gx = jax.grad(loss, argnums=(0, 1))(p, x, False)
+        gp = jax.grad(loss, argnums=(0, 1))(p, x, True)
+        for a, b in zip(jax.tree_util.tree_leaves(gx),
+                        jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        plstm._batch_block = orig
