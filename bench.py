@@ -55,6 +55,13 @@ def main():
         attn_impl=os.environ.get("BENCH_ATTN", "xla"),
     )
     bert_cfg = BertConfig.base()
+    if cfg.fast_dropout and jax.default_backend() == "tpu":
+        # cfg.fast_dropout production default (mirrors Trainer):
+        # uint8 dropout draws + masks regenerated in the backward
+        import dataclasses
+
+        bert_cfg = dataclasses.replace(bert_cfg, dropout_bits=8,
+                                       dropout_recompute=True)
 
     # production kernel routing, mirroring Trainer (train/loop.py)
     from mmda_tpu.ops import pallas as pallas_flags

@@ -282,6 +282,14 @@ class Config:
                                   # blockwise kernel).  Falls back to xla off
                                   # TPU automatically (kernels interpret-run
                                   # only in tests).
+    fast_dropout: bool = True     # on TPU, run BERT dropout with uint8 draws
+                                  # (keep-prob quantized to k/256, exactly
+                                  # inverse-scaled => unbiased) and masks
+                                  # regenerated in the backward from the PRNG
+                                  # key instead of saved.  ~1 ms/step of the
+                                  # measured ~5.9 ms dropout cost at B=64/T=48
+                                  # (benchmarks/RESULTS.md round-3); False
+                                  # restores float-draw torch-style dropout.
     fast_rng: bool = True         # on TPU, use the rbg hardware PRNG for
                                   # dropout masks instead of threefry
                                   # (measured -1.15 ms/fwd at B=64/T=48,

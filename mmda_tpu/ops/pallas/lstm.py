@@ -65,12 +65,15 @@ def _fwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
 
 
 def _batch_block(B: int) -> int:
-    """Largest divisor of B that is <= 64: the whole (T, BB, ...) working set
-    must fit scoped VMEM.  B=64 (the production batch) stays a single block
-    (grid=1, bit-identical to the ungridded round-2 kernel); B=128/256 split
-    into 64-row blocks — the unblocked bwd kernel OOMs scoped VMEM at B=128
-    (27.4M > 16M limit, measured on v5e)."""
-    bb = min(B, 64)
+    """Batch block size: B<=64 (the production batch) stays ONE block
+    (grid=1, bit-identical to the ungridded round-2 kernel, no pipeline
+    buffering).  Larger batches split into <=32-row blocks: with a grid,
+    Mosaic double-buffers every in/out block, so 64-row blocks still blew the
+    16M scoped-VMEM limit at B=128 (18.2M measured on v5e); 32-row blocks
+    halve the working set."""
+    if B <= 64:
+        return B
+    bb = 32
     while B % bb:
         bb -= 1
     return bb

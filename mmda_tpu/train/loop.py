@@ -88,6 +88,13 @@ class Trainer:
         self.cfg = cfg
         self.data = data
         self.bert_cfg = bert_cfg or (BertConfig.base() if cfg.use_bert else None)
+        if (cfg.fast_dropout and self.bert_cfg is not None
+                and jax.default_backend() == "tpu"):
+            # uint8 dropout draws + recompute-in-backward (cfg.fast_dropout)
+            import dataclasses
+
+            self.bert_cfg = dataclasses.replace(
+                self.bert_cfg, dropout_bits=8, dropout_recompute=True)
         self.pretrained_emb = pretrained_emb
         self.logger = logger or MetricLogger(cfg.log_sinks, run_name=cfg.name)
 
