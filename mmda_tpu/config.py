@@ -172,6 +172,8 @@ class Config:
                                   # hence 2*mult_d for the self stacks)
     mult_conv_kernel: int = 3     # temporal conv width of the projections
     lmf_rank: int = 4             # LMF family: rank of the fusion factors
+    tfn_post_dim: int = 16        # TFN family: per-modality post-fusion dim D
+                                  # (fused tensor has (D+1)^3 coordinates)
     task: str = "auto"            # auto|classification|regression|binary
                                   # auto: mosei/synthetic -> 6-way multilabel
                                   # classification; mosi -> sentiment regression

@@ -10,6 +10,7 @@ from mmda_tpu.models.ef_lstm import ef_lstm_forward, init_ef_lstm_params
 from mmda_tpu.models.lf_dnn import init_lf_dnn_params, lf_dnn_forward
 from mmda_tpu.models.mult import init_mult_params, mult_forward
 from mmda_tpu.models.lmf import init_lmf_params, lmf_forward
+from mmda_tpu.models.tfn import init_tfn_params, tfn_forward
 
 _REGISTRY = {
     "MISA": (init_misa_params, misa_forward),
@@ -17,6 +18,7 @@ _REGISTRY = {
     "LF_DNN": (init_lf_dnn_params, lf_dnn_forward),
     "MULT": (init_mult_params, mult_forward),
     "LMF": (init_lmf_params, lmf_forward),
+    "TFN": (init_tfn_params, tfn_forward),
 }
 
 
