@@ -174,6 +174,12 @@ class Config:
     lmf_rank: int = 4             # LMF family: rank of the fusion factors
     tfn_post_dim: int = 16        # TFN family: per-modality post-fusion dim D
                                   # (fused tensor has (D+1)^3 coordinates)
+    # MAG_BERT family (models/mag_bert.py; only read when model == "MAG_BERT")
+    mag_inject_layer: int = 1     # encoder layer receiving the adaptation gate
+                                  # (official MAG injection_index; 0 = on the
+                                  # embedding output)
+    mag_beta: float = 1.0         # beta_shift cap on the injection magnitude
+    mag_dropout: float = 0.5      # dropout on the scaled nonverbal shift
     task: str = "auto"            # auto|classification|regression|binary
                                   # auto: mosei/synthetic -> 6-way multilabel
                                   # classification; mosi -> sentiment regression

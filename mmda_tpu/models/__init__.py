@@ -11,6 +11,7 @@ from mmda_tpu.models.lf_dnn import init_lf_dnn_params, lf_dnn_forward
 from mmda_tpu.models.mult import init_mult_params, mult_forward
 from mmda_tpu.models.lmf import init_lmf_params, lmf_forward
 from mmda_tpu.models.tfn import init_tfn_params, tfn_forward
+from mmda_tpu.models.mag_bert import init_mag_bert_params, mag_bert_forward
 
 _REGISTRY = {
     "MISA": (init_misa_params, misa_forward),
@@ -19,6 +20,7 @@ _REGISTRY = {
     "MULT": (init_mult_params, mult_forward),
     "LMF": (init_lmf_params, lmf_forward),
     "TFN": (init_tfn_params, tfn_forward),
+    "MAG_BERT": (init_mag_bert_params, mag_bert_forward),
 }
 
 

@@ -290,6 +290,12 @@ def bert_encode(
                                        # ("skip" = ablation: ctx := x, for
                                        # attention-cost attribution in
                                        # benchmarks/bench_fwd_parts.py)
+    inject_layer: Optional[int] = None,  # run inject_fn on the hidden states
+    inject_fn=None,                      # entering encoder layer
+                                         # `inject_layer` (0 = on the
+                                         # embedding output).  Generic hook;
+                                         # models/mag_bert.py uses it for the
+                                         # multimodal adaptation gate.
 ) -> jnp.ndarray:
     """Return the last hidden state (B, S, H) - what the reference consumes as
     bert_output[0] (src/models.py:191).
@@ -449,10 +455,14 @@ def bert_encode(
     # benchmarks/bench_bwd_parts.py before any default change)
     layer_fn = jax.checkpoint(one_layer) if cfg.remat else one_layer
     for i, lp in enumerate(params["layers"]):
+        if inject_layer is not None and i == inject_layer:
+            x = inject_fn(x).astype(compute_dtype)
         layer_rngs = (
             (rngs[3 * i + 1], rngs[3 * i + 2], rngs[3 * i + 3])
             if not deterministic else (None, None, None))
         x = layer_fn(x, lp, layer_rngs)
+    if inject_layer is not None and inject_layer >= cfg.num_layers:
+        x = inject_fn(x).astype(compute_dtype)
 
     return x
 

@@ -176,6 +176,24 @@ class Predictor:
                 self._detokenize(r) if isinstance(r.get("text"), str) else r
                 for r in requests
             ]
+        if any("bert_ids" not in r for r in requests):
+            if self.cfg.use_bert:
+                raise ValueError(
+                    "pre-tokenized request is missing 'bert_ids'/'bert_type'/"
+                    "'bert_mask' but the model consumes BERT inputs "
+                    "(use_bert=True); either supply them or send raw text "
+                    "with a tokenizer")
+            # GloVe-tower models never read the BERT fields; synthesize
+            # minimal placeholders so the fixed-shape batcher can stack them
+            # (copy the dicts — never mutate the caller's requests)
+            def _with_bert(r):
+                if "bert_ids" in r:
+                    return r
+                L = len(r["text"]) + 2
+                return {**r, "bert_ids": np.zeros(L, np.int32),
+                        "bert_type": np.zeros(L, np.int32),
+                        "bert_mask": np.ones(L, np.int32)}
+            requests = [_with_bert(r) for r in requests]
         n = len(requests)
         max_len = max(len(r["text"]) for r in requests)
         cap = max(self.cfg.bucket_sizes)

@@ -51,6 +51,42 @@ def test_predictor_ragged_requests():
     assert out1["scores"].shape == (1, 6)
 
 
+def test_predictor_bertless_requests_without_bert_fields():
+    """A pre-tokenized request with no bert_ids must work for use_bert=False
+    models (placeholders synthesized, caller dict untouched) and must raise a
+    clear ValueError — not a KeyError — for use_bert=True models (round-3
+    verify finding)."""
+    cfg = _cfg()
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    pred = Predictor(cfg, params=params, max_batch=8)
+    r = {
+        "text": np.arange(2, 6).astype(np.int32),
+        "visual": RNG.normal(size=(4, 5)).astype(np.float32),
+        "acoustic": RNG.normal(size=(4, 6)).astype(np.float32),
+    }
+    out = pred([dict(r)])
+    assert np.isfinite(out["scores"]).all()
+    assert "bert_ids" not in r
+
+    # equal to the same request with explicit placeholder bert arrays
+    r2 = dict(r, bert_ids=np.zeros(6, np.int32),
+              bert_type=np.zeros(6, np.int32), bert_mask=np.ones(6, np.int32))
+    np.testing.assert_allclose(out["scores"][0], pred([r2])["scores"][0],
+                               rtol=1e-5, atol=1e-6)
+
+    from mmda_tpu.models.bert import BertConfig
+    import pytest
+
+    cfg_b = _cfg(use_bert=True)
+    bc = BertConfig.tiny(vocab_size=64)
+    init_b, _ = get_model("MISA")
+    params_b = init_b(jax.random.PRNGKey(0), cfg_b, bert_cfg=bc)
+    pred_b = Predictor(cfg_b, params=params_b, bert_cfg=bc)
+    with pytest.raises(ValueError, match="bert_ids"):
+        pred_b([dict(r)])
+
+
 def test_predictor_padding_invariance():
     cfg = _cfg()
     init_fn, _ = get_model("MISA")
