@@ -276,6 +276,51 @@ def _make_dropout(cfg: "BertConfig"):
     return _dropout
 
 
+def bert_embed(
+    params: Dict,
+    cfg: BertConfig,
+    input_ids: jnp.ndarray,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    *,
+    deterministic: bool = True,
+    embed_dropout_rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+):
+    """Embedding prefix of bert_encode: word + position + token-type lookups,
+    embedding LayerNorm, and the embedding-output dropout.
+
+    Returns (x, dropout) where `dropout` is the cfg-selected dropout callable
+    (shared with the per-layer calls so pipeline stages and the dense encoder
+    apply identical dropout math).  Module-level so the pipeline-parallel
+    encoder (parallel/pipeline.py) reuses it as stage 0's prefix."""
+    B, S = input_ids.shape
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+
+    word_tab = params["embeddings"]["word"]
+    word_emb = (_embed_lookup_matmul_grad(word_tab, input_ids)
+                if cfg.embed_grad_matmul else word_tab[input_ids])
+    emb = (
+        word_emb
+        + params["embeddings"]["position"][jnp.arange(S)][None, :, :]
+        + params["embeddings"]["token_type"][token_type_ids]
+    )
+    x = _layer_norm(params["embeddings"]["ln"], emb, cfg.layer_norm_eps,
+                    cfg.ln_fp32).astype(compute_dtype)
+
+    dropout = _make_dropout(cfg)
+    if not deterministic:
+        x = dropout(embed_dropout_rng, x, cfg.hidden_dropout, deterministic)
+    return x, dropout
+
+
+def attention_bias(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, S) {0,1} mask -> (B, 1, 1, S) additive bias: 0 for real tokens,
+    -1e9 (bf16-safe large negative) for pads."""
+    neg = jnp.asarray(-1e9, jnp.float32)
+    return (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * neg
+
+
 def bert_encode(
     params: Dict,
     cfg: BertConfig,
@@ -320,135 +365,21 @@ def bert_encode(
         if not forced:
             attn_impl = "xla"
 
-    if token_type_ids is None:
-        token_type_ids = jnp.zeros_like(input_ids)
-
-    word_tab = params["embeddings"]["word"]
-    word_emb = (_embed_lookup_matmul_grad(word_tab, input_ids)
-                if cfg.embed_grad_matmul else word_tab[input_ids])
-    emb = (
-        word_emb
-        + params["embeddings"]["position"][jnp.arange(S)][None, :, :]
-        + params["embeddings"]["token_type"][token_type_ids]
-    )
-    x = _layer_norm(params["embeddings"]["ln"], emb, cfg.layer_norm_eps,
-                    cfg.ln_fp32).astype(compute_dtype)
-
-    dropout = _make_dropout(cfg)
+    x, dropout = bert_embed(params, cfg, input_ids, token_type_ids,
+                            deterministic=deterministic,
+                            embed_dropout_rng=(
+                                None if deterministic
+                                else jax.random.split(dropout_rng, 3 * cfg.num_layers + 1)[0]),
+                            compute_dtype=compute_dtype)
     if not deterministic:
         rngs = jax.random.split(dropout_rng, 3 * cfg.num_layers + 1)
-        x = dropout(rngs[0], x, cfg.hidden_dropout, deterministic)
 
-    # additive mask: 0 for real tokens, -1e9 (bf16-safe large negative) for pads
-    neg = jnp.asarray(-1e9, jnp.float32)
-    attn_bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * neg
-
-    scale = 1.0 / np.sqrt(hd)
+    attn_bias = attention_bias(attention_mask)
 
     def one_layer(x, lp, layer_rngs):
-        r_attn, r_post, r_ffn = layer_rngs
-        # fused QKV: one (B*S, H) x (H, 3H) MXU matmul instead of three.
-        # Params stay separate (HF-load / freezing / TP-spec compatibility);
-        # the concat is a cheap per-layer weight reshape XLA hoists.
-        qkv_kernel = jnp.concatenate(
-            [lp["q"]["kernel"], lp["k"]["kernel"], lp["v"]["kernel"]], axis=1)
-        qkv_bias = jnp.concatenate(
-            [lp["q"]["bias"], lp["k"]["bias"], lp["v"]["bias"]])
-        qkv = _apply_dense({"kernel": qkv_kernel, "bias": qkv_bias}, x,
-                           compute_dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        # flatten (batch, heads) into one leading batch dim: explicit batched
-        # dot_general lays out ~1.4x faster on the MXU than the 4-D einsum at
-        # these sizes (measured; benchmarks/RESULTS.md)
-        def heads(t):
-            return t.reshape(B, S, nh, hd).transpose(0, 2, 1, 3).reshape(B * nh, S, hd)
-
-        if attn_impl == "skip":
-            ctx = x                                       # ablation only
-        elif attn_impl == "transpose_only":               # ablation only
-            ctx = heads(q)
-            ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
-        elif attn_impl == "xla_pad64" and S <= 64:
-            # pad the sequence axis to the 64-sublane boundary INSIDE the
-            # attention core only (FFN/projection row counts unchanged)
-            pad = 64 - S
-            qp, kp, vp = (jnp.pad(heads(t), ((0, 0), (0, pad), (0, 0)))
-                          for t in (q, k, v))
-            bias_p = jnp.pad(jnp.repeat(attn_bias[:, 0], nh, axis=0),
-                             ((0, 0), (0, 0), (0, pad)),
-                             constant_values=-1e9)
-            logits = jax.lax.dot_general(
-                qp, kp, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * scale
-            logits = logits + bias_p
-            probs = jax.nn.softmax(logits, axis=-1)
-            if not deterministic:
-                probs = dropout(r_attn, probs, cfg.attention_dropout,
-                                deterministic)
-            ctx = jax.lax.dot_general(
-                probs.astype(compute_dtype), vp, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32).astype(compute_dtype)[:, :S]
-            ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
-        elif attn_impl == "fused":
-            from mmda_tpu.ops.pallas.short_attention import short_attention
-
-            def headed(t):
-                return t.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
-
-            rate = 0.0 if deterministic else cfg.attention_dropout
-            if rate > 0.0:
-                seed = jax.random.randint(
-                    r_attn, (1,), 0, np.iinfo(np.int32).max,
-                    dtype=jnp.int32)
-            else:
-                seed = jnp.zeros((1,), jnp.int32)
-            key_bias = attn_bias[:, 0, 0]                 # (B, S) additive
-            ctx = short_attention(headed(q), headed(k), headed(v),
-                                  key_bias, seed, rate)
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
-        elif attn_impl == "flash" and (deterministic
-                                       or cfg.attention_dropout == 0.0):
-            from mmda_tpu.ops.pallas.attention import flash_attention
-
-            q, k, v = heads(q), heads(k), heads(v)
-            key_bias = jnp.repeat(attn_bias[:, 0, 0], nh, axis=0)  # (B*nh, S)
-            ctx = flash_attention(
-                q.astype(jnp.float32), k.astype(jnp.float32),
-                v.astype(jnp.float32), key_bias).astype(compute_dtype)
-            ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
-        else:
-            q, k, v = heads(q), heads(k), heads(v)
-            logits = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * scale  # (B*nh, S, S)
-            logits = logits + jnp.repeat(attn_bias[:, 0], nh, axis=0)
-            probs = jax.nn.softmax(logits, axis=-1)
-            if cfg.attn_probs_bf16_dropout:
-                probs = probs.astype(compute_dtype)
-            if not deterministic:
-                probs = dropout(r_attn, probs, cfg.attention_dropout,
-                                deterministic)
-            ctx = jax.lax.dot_general(
-                probs.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32).astype(compute_dtype)
-            ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
-        attn = _apply_dense(lp["attn_out"], ctx, compute_dtype)
-        if not deterministic:
-            attn = dropout(r_post, attn, cfg.hidden_dropout, deterministic)
-        x = _layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps,
-                        cfg.ln_fp32).astype(compute_dtype)
-
-        h = _apply_dense(lp["ffn_in"], x, compute_dtype)
-        if cfg.gelu_exact:
-            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
-        else:
-            h = jax.nn.gelu(h, approximate=True)
-        h = _apply_dense(lp["ffn_out"], h.astype(compute_dtype), compute_dtype)
-        if not deterministic:
-            h = dropout(r_ffn, h, cfg.hidden_dropout, deterministic)
-        x = _layer_norm(lp["ffn_ln"], x + h, cfg.layer_norm_eps,
-                        cfg.ln_fp32).astype(compute_dtype)
-        return x
+        return bert_layer(x, lp, layer_rngs, cfg=cfg, attn_bias=attn_bias,
+                          dropout=dropout, deterministic=deterministic,
+                          compute_dtype=compute_dtype, attn_impl=attn_impl)
 
     # remat: recompute each layer's forward inside the backward instead of
     # saving its activations (BertConfig.remat; measured in
@@ -464,6 +395,125 @@ def bert_encode(
     if inject_layer is not None and inject_layer >= cfg.num_layers:
         x = inject_fn(x).astype(compute_dtype)
 
+    return x
+
+
+def bert_layer(x, lp, layer_rngs, *, cfg: BertConfig, attn_bias, dropout,
+               deterministic: bool, compute_dtype, attn_impl: str):
+    """One post-norm BERT encoder layer (attention + FFN, residuals + LNs).
+
+    Module-level (rather than a closure inside bert_encode) so the
+    pipeline-parallel encoder (parallel/pipeline.py) applies EXACTLY the same
+    math per stage — pipeline-vs-dense equivalence is bit-exact, not
+    approximate.  `dropout` is the dropout callable from _make_dropout(cfg);
+    `attn_bias` is the (B, 1, 1, S) additive mask."""
+    B, S, H = x.shape
+    nh = cfg.num_heads
+    hd = H // nh
+    scale = 1.0 / np.sqrt(hd)
+
+    r_attn, r_post, r_ffn = layer_rngs
+    # fused QKV: one (B*S, H) x (H, 3H) MXU matmul instead of three.
+    # Params stay separate (HF-load / freezing / TP-spec compatibility);
+    # the concat is a cheap per-layer weight reshape XLA hoists.
+    qkv_kernel = jnp.concatenate(
+        [lp["q"]["kernel"], lp["k"]["kernel"], lp["v"]["kernel"]], axis=1)
+    qkv_bias = jnp.concatenate(
+        [lp["q"]["bias"], lp["k"]["bias"], lp["v"]["bias"]])
+    qkv = _apply_dense({"kernel": qkv_kernel, "bias": qkv_bias}, x,
+                       compute_dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    # flatten (batch, heads) into one leading batch dim: explicit batched
+    # dot_general lays out ~1.4x faster on the MXU than the 4-D einsum at
+    # these sizes (measured; benchmarks/RESULTS.md)
+    def heads(t):
+        return t.reshape(B, S, nh, hd).transpose(0, 2, 1, 3).reshape(B * nh, S, hd)
+
+    if attn_impl == "skip":
+        ctx = x                                       # ablation only
+    elif attn_impl == "transpose_only":               # ablation only
+        ctx = heads(q)
+        ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
+    elif attn_impl == "xla_pad64" and S <= 64:
+        # pad the sequence axis to the 64-sublane boundary INSIDE the
+        # attention core only (FFN/projection row counts unchanged)
+        pad = 64 - S
+        qp, kp, vp = (jnp.pad(heads(t), ((0, 0), (0, pad), (0, 0)))
+                      for t in (q, k, v))
+        bias_p = jnp.pad(jnp.repeat(attn_bias[:, 0], nh, axis=0),
+                         ((0, 0), (0, 0), (0, pad)),
+                         constant_values=-1e9)
+        logits = jax.lax.dot_general(
+            qp, kp, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        logits = logits + bias_p
+        probs = jax.nn.softmax(logits, axis=-1)
+        if not deterministic:
+            probs = dropout(r_attn, probs, cfg.attention_dropout,
+                            deterministic)
+        ctx = jax.lax.dot_general(
+            probs.astype(compute_dtype), vp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(compute_dtype)[:, :S]
+        ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
+    elif attn_impl == "fused":
+        from mmda_tpu.ops.pallas.short_attention import short_attention
+
+        def headed(t):
+            return t.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+
+        rate = 0.0 if deterministic else cfg.attention_dropout
+        if rate > 0.0:
+            seed = jax.random.randint(
+                r_attn, (1,), 0, np.iinfo(np.int32).max,
+                dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        key_bias = attn_bias[:, 0, 0]                 # (B, S) additive
+        ctx = short_attention(headed(q), headed(k), headed(v),
+                              key_bias, seed, rate)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
+    elif attn_impl == "flash" and (deterministic
+                                   or cfg.attention_dropout == 0.0):
+        from mmda_tpu.ops.pallas.attention import flash_attention
+
+        q, k, v = heads(q), heads(k), heads(v)
+        key_bias = jnp.repeat(attn_bias[:, 0, 0], nh, axis=0)  # (B*nh, S)
+        ctx = flash_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), key_bias).astype(compute_dtype)
+        ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
+    else:
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (B*nh, S, S)
+        logits = logits + jnp.repeat(attn_bias[:, 0], nh, axis=0)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if cfg.attn_probs_bf16_dropout:
+            probs = probs.astype(compute_dtype)
+        if not deterministic:
+            probs = dropout(r_attn, probs, cfg.attention_dropout,
+                            deterministic)
+        ctx = jax.lax.dot_general(
+            probs.astype(compute_dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(compute_dtype)
+        ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
+    attn = _apply_dense(lp["attn_out"], ctx, compute_dtype)
+    if not deterministic:
+        attn = dropout(r_post, attn, cfg.hidden_dropout, deterministic)
+    x = _layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps,
+                    cfg.ln_fp32).astype(compute_dtype)
+
+    h = _apply_dense(lp["ffn_in"], x, compute_dtype)
+    if cfg.gelu_exact:
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+    else:
+        h = jax.nn.gelu(h, approximate=True)
+    h = _apply_dense(lp["ffn_out"], h.astype(compute_dtype), compute_dtype)
+    if not deterministic:
+        h = dropout(r_ffn, h, cfg.hidden_dropout, deterministic)
+    x = _layer_norm(lp["ffn_ln"], x + h, cfg.layer_norm_eps,
+                    cfg.ln_fp32).astype(compute_dtype)
     return x
 
 
