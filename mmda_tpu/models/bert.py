@@ -321,6 +321,20 @@ def attention_bias(attention_mask: jnp.ndarray) -> jnp.ndarray:
     return (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * neg
 
 
+# Encoder override hook: parallel/pipeline.py installs a pipelined encoder
+# here so model forwards (MISA etc.) transparently run the BERT tower
+# pipeline-parallel without knowing about meshes.  None = dense path.
+_ENCODE_OVERRIDE = None
+
+
+def set_encode_override(fn) -> None:
+    """fn(params, cfg, input_ids, attention_mask, token_type_ids,
+    deterministic, dropout_rng, compute_dtype) -> (B, S, H), or None to
+    restore the dense encoder."""
+    global _ENCODE_OVERRIDE
+    _ENCODE_OVERRIDE = fn
+
+
 def bert_encode(
     params: Dict,
     cfg: BertConfig,
@@ -348,6 +362,14 @@ def bert_encode(
     use_flash_attention routes the attention core through the Pallas blockwise
     kernel (ops/pallas/attention.py) - O(S) memory, wins at long S; the XLA
     path is optimal at MOSEI lengths (benchmarks/RESULTS.md)."""
+    if _ENCODE_OVERRIDE is not None and inject_layer is None:
+        # pipelined encoder (parallel/pipeline.py).  The MAG-BERT injection
+        # hook stays on the dense path: the gate touches one specific layer
+        # boundary, which a stage-stacked scan cannot express.
+        return _ENCODE_OVERRIDE(
+            params, cfg, input_ids, attention_mask, token_type_ids,
+            deterministic, dropout_rng, compute_dtype)
+
     B, S = input_ids.shape
     H = cfg.hidden_size
     nh = cfg.num_heads
