@@ -247,6 +247,10 @@ class Config:
     # Parallelism
     dp_size: int = -1             # -1: all devices on the 'data' axis
     tp_size: int = 1              # 'model' axis size (BERT weight sharding)
+    pp_size: int = 1              # 'pipe' axis size: BERT encoder layers
+                                  # split into pp stages, microbatches flow
+                                  # via ppermute (parallel/pipeline.py)
+    pp_microbatches: int = 0      # 0 -> pp_size; must divide batch_size
 
     # Engine
     ckpt_dir: str = "checkpoints"

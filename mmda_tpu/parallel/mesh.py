@@ -165,7 +165,9 @@ def param_partition_specs(params: Any, tp: bool = False) -> Any:
 def shard_params(params: Any, mesh: Mesh, tp: Optional[bool] = None) -> Any:
     """Place params on the mesh per `param_partition_specs`."""
     if tp is None:
-        tp = mesh.shape[MODEL_AXIS] > 1
+        # meshes without a 'model' axis (e.g. the ('data','pipe') pipeline
+        # mesh) replicate params; TP needs an explicit model axis
+        tp = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
     specs = param_partition_specs(params, tp)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs

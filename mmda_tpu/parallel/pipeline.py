@@ -33,6 +33,7 @@ real schedule on faked multi-device meshes.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Dict, Optional
 
 import jax
@@ -41,6 +42,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from mmda_tpu.models import bert as jbert
 from mmda_tpu.models.bert import (
     BertConfig,
     attention_bias,
@@ -197,3 +199,37 @@ def pipeline_bert_encode(
         check_vma=False,
     )(stack_stage_params(params["layers"], pp), x_mb, bias_mb, rngs_mb)
     return out.reshape(B, S, x.shape[-1])
+
+
+def install_pipeline_encoder(mesh: Mesh, num_microbatches: int) -> None:
+    """Route every subsequent `bert_encode` call (MISA and the other
+    BERT-towered families) through the pipelined encoder on `mesh`.
+
+    Model forwards stay mesh-oblivious: the override adapter matches the
+    dense encoder's hook signature (models/bert.py::set_encode_override),
+    so the FULL train step — objective, grads, Adam — pipelines the tower
+    with zero changes to model or trainer code (tested end-to-end in
+    tests/test_pipeline.py; driver proof in __graft_entry__.dryrun_multichip)."""
+
+    def _enc(params, cfg, input_ids, attention_mask, token_type_ids,
+             deterministic, dropout_rng, compute_dtype):
+        return pipeline_bert_encode(
+            params, cfg, input_ids, attention_mask, mesh, num_microbatches,
+            token_type_ids=token_type_ids, deterministic=deterministic,
+            dropout_rng=dropout_rng, compute_dtype=compute_dtype)
+
+    jbert.set_encode_override(_enc)
+
+
+def uninstall_pipeline_encoder() -> None:
+    jbert.set_encode_override(None)
+
+
+@contextlib.contextmanager
+def pipelined_bert(mesh: Mesh, num_microbatches: int):
+    """Context manager form: `with pipelined_bert(mesh, 4): step(...)`."""
+    install_pipeline_encoder(mesh, num_microbatches)
+    try:
+        yield
+    finally:
+        uninstall_pipeline_encoder()

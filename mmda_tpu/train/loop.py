@@ -117,7 +117,28 @@ class Trainer:
                           "rbg" if use_rbg else "threefry2x32")
 
         self.mesh = None
-        if use_mesh and (len(jax.devices()) > 1 or cfg.tp_size > 1):
+        if cfg.pp_size > 1:
+            # pipeline parallelism: ('data','pipe') mesh, BERT layers staged
+            # over 'pipe' (parallel/pipeline.py), installed process-globally
+            # via the encode-override hook so the model forward is untouched
+            from mmda_tpu.parallel import pipeline as ppipe
+
+            if not cfg.use_bert:
+                raise ValueError("pp_size > 1 pipelines the BERT tower; "
+                                 "use_bert=False has no pipelined stage")
+            if cfg.tp_size > 1:
+                raise ValueError("pp_size and tp_size are mutually exclusive "
+                                 "(dp x pp or dp x tp meshes)")
+            n = len(jax.devices())
+            dp = cfg.dp_size if cfg.dp_size > 0 else max(n // cfg.pp_size, 1)
+            micro = cfg.pp_microbatches or cfg.pp_size
+            if cfg.batch_size % micro:
+                raise ValueError(
+                    f"pp_microbatches={micro} must divide "
+                    f"batch_size={cfg.batch_size}")
+            self.mesh = ppipe.make_pipe_mesh(pp=cfg.pp_size, dp=dp)
+            ppipe.install_pipeline_encoder(self.mesh, micro)
+        elif use_mesh and (len(jax.devices()) > 1 or cfg.tp_size > 1):
             self.mesh = pmesh.make_mesh(dp=cfg.dp_size, tp=cfg.tp_size)
 
         from mmda_tpu.ops import pallas as pallas_flags

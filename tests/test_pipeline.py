@@ -102,6 +102,104 @@ def test_pipeline_under_jit_and_stage_stacking_shapes():
     assert stacked["q"]["kernel"].shape == (2, 2, 32, 32)
 
 
+def _misa_setup():
+    from mmda_tpu.config import Config
+    from mmda_tpu.data.synthetic import SyntheticSpec, make_split
+    from mmda_tpu.models import Batch, get_model
+
+    cfg = Config(use_bert=True, batch_size=16, compute_dtype="float32",
+                 hidden_size=16, visual_size=5, acoustic_size=6)
+    bert_cfg = jbert.BertConfig(vocab_size=64, hidden_size=32, num_layers=4,
+                                num_heads=2, intermediate_size=64,
+                                max_position_embeddings=64)
+    init_fn, fwd_fn = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg, bert_cfg=bert_cfg)
+    split = make_split(SyntheticSpec(
+        num_examples=16, max_len=8, visual_size=5, acoustic_size=6,
+        vocab_size=64, bert_vocab_size=64))
+    return cfg, bert_cfg, fwd_fn, params, Batch(**split)
+
+
+def test_full_misa_forward_and_grads_under_pipeline():
+    """The encode-override hook pipelines the tower inside the FULL MISA
+    forward with zero model changes; deterministic scores and grads match
+    the dense path."""
+    cfg, bert_cfg, fwd_fn, params, batch = _misa_setup()
+
+    def loss(p):
+        out = fwd_fn(p, cfg, batch, bert_cfg=bert_cfg, deterministic=True)
+        return (out.scores ** 2).mean()
+
+    dense_l, dense_g = jax.value_and_grad(loss)(params)
+    mesh = pl.make_pipe_mesh(pp=4, dp=2)
+    with pl.pipelined_bert(mesh, num_microbatches=4):
+        pl_l, pl_g = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(pl_l), float(dense_l), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(pl_g),
+                    jax.tree_util.tree_leaves(dense_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_full_train_step_under_pipeline():
+    """One full optimizer step (objective + grads + clip + Adam + freeze
+    rules) with the tower pipelined over ('data','pipe'): finite loss,
+    trainable layers move, frozen layer stays."""
+    from mmda_tpu.models.bert import frozen_mask
+    from mmda_tpu.train.state import create_train_state, make_optimizer
+    from mmda_tpu.train.step import make_train_step
+
+    cfg, bert_cfg, fwd_fn, params, batch = _misa_setup()
+    frozen = jax.tree_util.tree_map(lambda _: False, params)
+    frozen["bert"] = frozen_mask(params["bert"], max_frozen_layer=0)
+    tx = make_optimizer(cfg, frozen)
+    state = create_train_state(cfg, params, jax.random.PRNGKey(1), frozen)
+    step = make_train_step(cfg, tx, fwd_fn, bert_cfg, donate=False,
+                           frozen=frozen)
+    mesh = pl.make_pipe_mesh(pp=4, dp=2)
+    with pl.pipelined_bert(mesh, num_microbatches=4):
+        new_state, losses = step(state, batch)
+        total = float(losses["total"])
+    assert np.isfinite(total)
+    k0 = np.asarray(state.params["bert"]["layers"][0]["q"]["kernel"])
+    k0n = np.asarray(new_state.params["bert"]["layers"][0]["q"]["kernel"])
+    np.testing.assert_array_equal(k0, k0n)
+    k3 = np.asarray(state.params["bert"]["layers"][3]["q"]["kernel"])
+    k3n = np.asarray(new_state.params["bert"]["layers"][3]["q"]["kernel"])
+    assert not np.array_equal(k3, k3n)
+    # the hook uninstalls on context exit
+    assert jbert._ENCODE_OVERRIDE is None
+
+
+def test_trainer_pp_smoke(tmp_path):
+    """`--pp_size 2` from the CLI surface: Trainer builds the ('data','pipe')
+    mesh, installs the pipelined encoder, and trains end-to-end."""
+    from mmda_tpu.config import Config
+    from mmda_tpu.data import make_dataset
+    from mmda_tpu.train.loop import Trainer
+
+    cfg = Config(use_bert=True, batch_size=16, compute_dtype="float32",
+                 hidden_size=16, visual_size=5, acoustic_size=6,
+                 vocab_size=64, embedding_size=8, num_classes=6,
+                 learning_rate=3e-3, n_epoch=1, bucket_sizes=(8,),
+                 name="pp_smoke", ckpt_dir=str(tmp_path), log_sinks=(),
+                 pp_size=2)
+    bert_cfg = jbert.BertConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                                num_heads=2, intermediate_size=64,
+                                max_position_embeddings=64)
+    data = make_dataset(num_train=64, num_dev=32, num_test=32, max_len=8,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+    try:
+        tr = Trainer(cfg, data, bert_cfg=bert_cfg)
+        assert tr.mesh is not None and tr.mesh.shape["pipe"] == 2
+        assert jbert._ENCODE_OVERRIDE is not None
+        summary = tr.train()
+        assert np.isfinite(summary["test_loss"])
+    finally:
+        pl.uninstall_pipeline_encoder()
+
+
 def test_pipeline_validation_errors():
     cfg, params, ids, mask = _setup(num_layers=4)
     mesh = pl.make_pipe_mesh(pp=4, dp=2)
