@@ -251,6 +251,10 @@ class Config:
                                   # split into pp stages, microbatches flow
                                   # via ppermute (parallel/pipeline.py)
     pp_microbatches: int = 0      # 0 -> pp_size; must divide batch_size
+    sp: bool = False              # sequence parallelism: shard the BERT
+                                  # residual stream's S axis over the TP
+                                  # 'model' devices (needs tp_size > 1;
+                                  # parallel/sequence.py)
 
     # Engine
     ckpt_dir: str = "checkpoints"

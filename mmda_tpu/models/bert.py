@@ -335,6 +335,21 @@ def set_encode_override(fn) -> None:
     _ENCODE_OVERRIDE = fn
 
 
+# Residual-stream sharding hook: parallel/sequence.py installs a
+# with_sharding_constraint closure here so the (B, S, H) activations between
+# encoder layers carry a sequence-parallel annotation (S sharded over the TP
+# 'model' axis) — XLA SPMD then derives the Megatron-SP all-gather /
+# reduce-scatter pattern from the constraint + the TP weight shardings.
+# None = no constraint (single-device / plain TP).
+_ACTIVATION_CONSTRAINT = None
+
+
+def set_activation_constraint(fn) -> None:
+    """fn(x: (B, S, H)) -> x with a sharding constraint applied, or None."""
+    global _ACTIVATION_CONSTRAINT
+    _ACTIVATION_CONSTRAINT = fn
+
+
 def bert_encode(
     params: Dict,
     cfg: BertConfig,
@@ -407,6 +422,8 @@ def bert_encode(
     # saving its activations (BertConfig.remat; measured in
     # benchmarks/bench_bwd_parts.py before any default change)
     layer_fn = jax.checkpoint(one_layer) if cfg.remat else one_layer
+    if _ACTIVATION_CONSTRAINT is not None:
+        x = _ACTIVATION_CONSTRAINT(x)
     for i, lp in enumerate(params["layers"]):
         if inject_layer is not None and i == inject_layer:
             x = inject_fn(x).astype(compute_dtype)
@@ -414,6 +431,8 @@ def bert_encode(
             (rngs[3 * i + 1], rngs[3 * i + 2], rngs[3 * i + 3])
             if not deterministic else (None, None, None))
         x = layer_fn(x, lp, layer_rngs)
+        if _ACTIVATION_CONSTRAINT is not None:
+            x = _ACTIVATION_CONSTRAINT(x)
     if inject_layer is not None and inject_layer >= cfg.num_layers:
         x = inject_fn(x).astype(compute_dtype)
 

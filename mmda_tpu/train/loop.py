@@ -140,6 +140,18 @@ class Trainer:
             ppipe.install_pipeline_encoder(self.mesh, micro)
         elif use_mesh and (len(jax.devices()) > 1 or cfg.tp_size > 1):
             self.mesh = pmesh.make_mesh(dp=cfg.dp_size, tp=cfg.tp_size)
+            if cfg.sp:
+                # sequence parallelism rides on TP: residual-stream S axis
+                # sharded over the same 'model' devices (parallel/sequence.py)
+                from mmda_tpu.parallel import sequence as psq
+
+                if cfg.tp_size <= 1:
+                    raise ValueError("sp=True needs tp_size > 1 (S is "
+                                     "sharded over the TP 'model' axis)")
+                psq.install_sequence_sharding(self.mesh)
+        elif cfg.sp:
+            raise ValueError("sp=True needs a mesh with a 'model' axis "
+                             "(tp_size > 1)")
 
         from mmda_tpu.ops import pallas as pallas_flags
 
