@@ -37,7 +37,9 @@ def main(argv=None):
     split = data[cfg.mode if cfg.mode in data else "test"]
 
     init_fn, fwd_fn = get_model(cfg.model)
-    bert_cfg = BertConfig.base() if cfg.use_bert else None
+    from mmda_tpu.models.bert import bert_config_for
+
+    bert_cfg = bert_config_for(cfg)
     template = init_fn(
         jax.random.PRNGKey(0), cfg,
         visual_size=split["visual"].shape[-1],

@@ -255,6 +255,14 @@ class Config:
                                   # residual stream's S axis over the TP
                                   # 'model' devices (needs tp_size > 1;
                                   # parallel/sequence.py)
+    moe_experts: int = 0          # > 0: replace every BERT FFN with a
+                                  # Switch-style top-1 MoE of this many
+                                  # experts (ops/moe.py); experts shard over
+                                  # the 'model' axis (expert parallelism,
+                                  # parallel/expert.py) when tp_size > 1
+    moe_capacity_factor: float = 1.25  # per-expert token capacity multiplier
+    moe_aux_weight: float = 0.01  # Switch load-balance loss weight
+    moe_z_weight: float = 0.001   # router z-loss weight
 
     # Engine
     ckpt_dir: str = "checkpoints"

@@ -72,6 +72,12 @@ class BertConfig:
                                   # instead of XLA's scatter-add into the
                                   # (30522, 768) table — scatters serialize
                                   # on TPU; measured in bench_bwd_parts.py
+    moe_experts: int = 0          # > 0 replaces every layer's dense FFN with
+                                  # a Switch-style top-1 MoE of this many
+                                  # experts (ops/moe.py); bert_encode then
+                                  # returns (hidden, aux_losses).  Net-new
+                                  # scale-out capability (no ref counterpart)
+    moe_capacity_factor: float = 1.25  # per-expert token capacity multiplier
 
     @staticmethod
     def base() -> "BertConfig":
@@ -120,18 +126,23 @@ def init_bert_params(key, cfg: BertConfig) -> Dict:
     }
     for i in range(cfg.num_layers):
         k = jax.random.split(keys[4 + i], 6)
-        params["layers"].append(
-            {
-                "q": _dense(k[0], H, H, std),
-                "k": _dense(k[1], H, H, std),
-                "v": _dense(k[2], H, H, std),
-                "attn_out": _dense(k[3], H, H, std),
-                "attn_ln": _ln(H),
-                "ffn_in": _dense(k[4], H, cfg.intermediate_size, std),
-                "ffn_out": _dense(k[5], cfg.intermediate_size, H, std),
-                "ffn_ln": _ln(H),
-            }
-        )
+        layer = {
+            "q": _dense(k[0], H, H, std),
+            "k": _dense(k[1], H, H, std),
+            "v": _dense(k[2], H, H, std),
+            "attn_out": _dense(k[3], H, H, std),
+            "attn_ln": _ln(H),
+            "ffn_ln": _ln(H),
+        }
+        if cfg.moe_experts > 0:
+            from mmda_tpu.ops.moe import init_moe_ffn_params
+
+            layer["moe"] = init_moe_ffn_params(
+                k[4], H, cfg.intermediate_size, cfg.moe_experts, std)
+        else:
+            layer["ffn_in"] = _dense(k[4], H, cfg.intermediate_size, std)
+            layer["ffn_out"] = _dense(k[5], cfg.intermediate_size, H, std)
+        params["layers"].append(layer)
     return params
 
 
@@ -372,7 +383,9 @@ def bert_encode(
                                          # multimodal adaptation gate.
 ) -> jnp.ndarray:
     """Return the last hidden state (B, S, H) - what the reference consumes as
-    bert_output[0] (src/models.py:191).
+    bert_output[0] (src/models.py:191).  When cfg.moe_experts > 0 the return
+    is `(hidden, aux)` where aux carries the layer-averaged Switch router
+    losses ({'balance', 'router_z'}, ops/moe.py) for the training objective.
 
     use_flash_attention routes the attention core through the Pallas blockwise
     kernel (ops/pallas/attention.py) - O(S) memory, wins at long S; the XLA
@@ -381,6 +394,11 @@ def bert_encode(
         # pipelined encoder (parallel/pipeline.py).  The MAG-BERT injection
         # hook stays on the dense path: the gate touches one specific layer
         # boundary, which a stage-stacked scan cannot express.
+        if cfg.moe_experts > 0:
+            raise ValueError(
+                "moe_experts > 0 does not compose with the pipelined encoder "
+                "(pp_size > 1): the stage-stacked scan cannot thread the "
+                "per-layer router aux losses")
         return _ENCODE_OVERRIDE(
             params, cfg, input_ids, attention_mask, token_type_ids,
             deterministic, dropout_rng, compute_dtype)
@@ -422,6 +440,8 @@ def bert_encode(
     # saving its activations (BertConfig.remat; measured in
     # benchmarks/bench_bwd_parts.py before any default change)
     layer_fn = jax.checkpoint(one_layer) if cfg.remat else one_layer
+    moe = cfg.moe_experts > 0
+    aux_acc = []
     if _ACTIVATION_CONSTRAINT is not None:
         x = _ACTIVATION_CONSTRAINT(x)
     for i, lp in enumerate(params["layers"]):
@@ -430,12 +450,23 @@ def bert_encode(
         layer_rngs = (
             (rngs[3 * i + 1], rngs[3 * i + 2], rngs[3 * i + 3])
             if not deterministic else (None, None, None))
-        x = layer_fn(x, lp, layer_rngs)
+        out = layer_fn(x, lp, layer_rngs)
+        if moe:
+            x, layer_aux = out
+            aux_acc.append(layer_aux)
+        else:
+            x = out
         if _ACTIVATION_CONSTRAINT is not None:
             x = _ACTIVATION_CONSTRAINT(x)
     if inject_layer is not None and inject_layer >= cfg.num_layers:
         x = inject_fn(x).astype(compute_dtype)
 
+    if moe:
+        # mean over layers keeps the aux-loss scale independent of depth
+        # (Switch Transformer convention)
+        aux = {k: jnp.mean(jnp.stack([a[k] for a in aux_acc]))
+               for k in aux_acc[0]}
+        return x, aux
     return x
 
 
@@ -545,17 +576,27 @@ def bert_layer(x, lp, layer_rngs, *, cfg: BertConfig, attn_bias, dropout,
     x = _layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps,
                     cfg.ln_fp32).astype(compute_dtype)
 
-    h = _apply_dense(lp["ffn_in"], x, compute_dtype)
-    if cfg.gelu_exact:
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+    if cfg.moe_experts > 0:
+        from mmda_tpu.ops.moe import switch_ffn
+
+        h2, moe_aux = switch_ffn(
+            lp["moe"], x.reshape(B * S, H),
+            capacity_factor=cfg.moe_capacity_factor,
+            gelu_exact=cfg.gelu_exact, compute_dtype=compute_dtype)
+        h = h2.reshape(B, S, H).astype(compute_dtype)
     else:
-        h = jax.nn.gelu(h, approximate=True)
-    h = _apply_dense(lp["ffn_out"], h.astype(compute_dtype), compute_dtype)
+        h = _apply_dense(lp["ffn_in"], x, compute_dtype)
+        if cfg.gelu_exact:
+            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+        else:
+            h = jax.nn.gelu(h, approximate=True)
+        h = _apply_dense(lp["ffn_out"], h.astype(compute_dtype), compute_dtype)
     if not deterministic:
         h = dropout(r_ffn, h, cfg.hidden_dropout, deterministic)
     x = _layer_norm(lp["ffn_ln"], x + h, cfg.layer_norm_eps,
                     cfg.ln_fp32).astype(compute_dtype)
-    return x
+    # static branch on the config: MoE layers report their router aux losses
+    return (x, moe_aux) if cfg.moe_experts > 0 else x
 
 
 # ---------------------------------------------------------------------------
@@ -570,6 +611,21 @@ _HF_LAYER_MAP = {
     "ffn_in": "intermediate.dense",
     "ffn_out": "output.dense",
 }
+
+
+def bert_config_for(cfg) -> Optional["BertConfig"]:
+    """BertConfig.base() with the main Config's BERT-tower knobs applied
+    (currently the Switch-MoE ones).  One construction point shared by
+    serving/infer so a MoE-trained checkpoint loads with a matching tree."""
+    import dataclasses
+
+    if not cfg.use_bert:
+        return None
+    bc = BertConfig.base()
+    if getattr(cfg, "moe_experts", 0) > 0:
+        bc = dataclasses.replace(bc, moe_experts=cfg.moe_experts,
+                                 moe_capacity_factor=cfg.moe_capacity_factor)
+    return bc
 
 
 def load_hf_weights(model_dir: str, cfg: Optional[BertConfig] = None) -> Dict:
@@ -623,6 +679,21 @@ def load_hf_weights(model_dir: str, cfg: Optional[BertConfig] = None) -> Dict:
                          "bias": g(base + "attention.output.LayerNorm.bias")}
         lp["ffn_ln"] = {"scale": g(base + "output.LayerNorm.weight"),
                         "bias": g(base + "output.LayerNorm.bias")}
+        if cfg.moe_experts > 0:
+            # sparse upcycling (Komatsuzaki et al.): every expert starts as a
+            # copy of the dense checkpoint's FFN; the router starts near-zero
+            # (deterministic key — loading is reproducible)
+            E = cfg.moe_experts
+            k_g = jax.random.fold_in(jax.random.PRNGKey(0), i)
+            ffn_in, ffn_out = lp.pop("ffn_in"), lp.pop("ffn_out")
+            lp["moe"] = {
+                "gate": {"kernel": jax.random.truncated_normal(
+                    k_g, -2, 2, (cfg.hidden_size, E), jnp.float32) * 0.02},
+                "w_in": jnp.tile(ffn_in["kernel"][None], (E, 1, 1)),
+                "b_in": jnp.tile(ffn_in["bias"][None], (E, 1)),
+                "w_out": jnp.tile(ffn_out["kernel"][None], (E, 1, 1)),
+                "b_out": jnp.tile(ffn_out["bias"][None], (E, 1)),
+            }
         params["layers"].append(lp)
     return params
 

@@ -77,7 +77,7 @@ def lmf_forward(
         rng = jax.random.PRNGKey(0)
     r_bert, r_drop = jax.random.split(rng)
 
-    ht, hv, ha = pooled.pooled_modality_encodings(
+    ht, hv, ha, moe_aux = pooled.pooled_modality_encodings(
         params, cfg, batch, act, bert_cfg, deterministic, r_bert,
         modality_keep)
 
@@ -119,5 +119,5 @@ def lmf_forward(
         recon_t=none, recon_v=none, recon_a=none,
         domain_t=none, domain_v=none, domain_a=none,
         sp_p_t=none, sp_p_v=none, sp_p_a=none, sp_s=none,
-        fusion_attn=none,
+        fusion_attn=none, moe_aux=moe_aux,
     )

@@ -158,6 +158,9 @@ def mag_bert_forward(
         compute_dtype=compute_dtype, attn_impl=cfg.resolved_attn_impl(),
         inject_layer=cfg.mag_inject_layer, inject_fn=inject,
     )
+    moe_aux = None
+    if bert_cfg.moe_experts > 0:
+        hidden, moe_aux = hidden
 
     # [CLS] pooler -> dropout -> heads (ordinary BERT fine-tuning readout)
     pooled = jnp.tanh(linear(params["pooler"],
@@ -183,5 +186,5 @@ def mag_bert_forward(
         recon_t=none, recon_v=none, recon_a=none,
         domain_t=none, domain_v=none, domain_a=none,
         sp_p_t=none, sp_p_v=none, sp_p_a=none, sp_s=none,
-        fusion_attn=none,
+        fusion_attn=none, moe_aux=moe_aux,
     )

@@ -79,6 +79,9 @@ class MISAOutput(NamedTuple):
     fusion_attn: Optional[jnp.ndarray] = None  # (B, nh, 6, 6) fusion
                                  # self-attention scores - implements the
                                  # reference's TODO at src/models.py:159
+    moe_aux: Optional[Dict] = None  # Switch router aux losses
+                                 # ({'balance','router_z'}, ops/moe.py) when
+                                 # the BERT tower runs with moe_experts > 0
 
 
 class Batch(NamedTuple):
@@ -212,6 +215,7 @@ def misa_forward(
         acoustic = acoustic * mk[:, 2][:, None, None]
 
     # ---- text tower -------------------------------------------------------
+    moe_aux = None
     if cfg.use_bert:
         bert_cfg = bert_cfg or jbert.BertConfig.base()
         hidden = jbert.bert_encode(
@@ -220,6 +224,8 @@ def misa_forward(
             compute_dtype=compute_dtype,
             attn_impl=cfg.resolved_attn_impl(),
         )
+        if bert_cfg.moe_experts > 0:
+            hidden, moe_aux = hidden
         utt_text = masked_mean(hidden.astype(jnp.float32), batch.bert_mask)
     else:
         emb = params["embed"][batch.text].astype(compute_dtype)
@@ -326,5 +332,5 @@ def misa_forward(
         recon_t=recon_t, recon_v=recon_v, recon_a=recon_a,
         domain_t=domain_t, domain_v=domain_v, domain_a=domain_a,
         sp_p_t=sp_p_t, sp_p_v=sp_p_v, sp_p_a=sp_p_a, sp_s=sp_s,
-        fusion_attn=fusion_attn,
+        fusion_attn=fusion_attn, moe_aux=moe_aux,
     )

@@ -248,6 +248,7 @@ def mult_forward(
     a_len = batch.acoustic_lengths if batch.acoustic_lengths is not None else batch.lengths
 
     # ---- raw per-modality feature streams -------------------------------
+    moe_aux = None
     if cfg.use_bert:
         bert_cfg = bert_cfg or jbert.BertConfig.base()
         feat_t = jbert.bert_encode(
@@ -255,6 +256,8 @@ def mult_forward(
             batch.bert_type, deterministic=deterministic, dropout_rng=r_bert,
             compute_dtype=compute_dtype,
             attn_impl=cfg.resolved_attn_impl())
+        if bert_cfg.moe_experts > 0:
+            feat_t, moe_aux = feat_t
         mask_t = batch.bert_mask.astype(jnp.float32)
         len_t = jnp.sum(batch.bert_mask, axis=-1).astype(jnp.int32)
     else:
@@ -350,5 +353,5 @@ def mult_forward(
         recon_t=none, recon_v=none, recon_a=none,
         domain_t=none, domain_v=none, domain_a=none,
         sp_p_t=none, sp_p_v=none, sp_p_a=none, sp_s=none,
-        fusion_attn=none,
+        fusion_attn=none, moe_aux=moe_aux,
     )

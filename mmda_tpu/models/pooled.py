@@ -73,13 +73,15 @@ def pooled_modality_encodings(
     deterministic: bool,
     bert_rng,
     modality_keep,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(ht, hv, ha): masked-mean pooled, modality-dropped, MLP-encoded
-    per-modality vectors, each (B, hidden_size) f32."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[Dict]]:
+    """(ht, hv, ha, moe_aux): masked-mean pooled, modality-dropped,
+    MLP-encoded per-modality vectors, each (B, hidden_size) f32; moe_aux is
+    the BERT tower's Switch router losses (None unless moe_experts > 0)."""
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     v_len = batch.visual_lengths if batch.visual_lengths is not None else batch.lengths
     a_len = batch.acoustic_lengths if batch.acoustic_lengths is not None else batch.lengths
 
+    moe_aux = None
     if cfg.use_bert:
         bert_cfg = bert_cfg or jbert.BertConfig.base()
         hidden = jbert.bert_encode(
@@ -87,6 +89,8 @@ def pooled_modality_encodings(
             batch.bert_type, deterministic=deterministic, dropout_rng=bert_rng,
             compute_dtype=compute_dtype,
             attn_impl=cfg.resolved_attn_impl())
+        if bert_cfg.moe_experts > 0:
+            hidden, moe_aux = hidden
         pooled_t = masked_mean(hidden.astype(jnp.float32), batch.bert_mask)
     else:
         emb = params["embed"][batch.text].astype(jnp.float32)
@@ -110,4 +114,5 @@ def pooled_modality_encodings(
 
     return (enc(params["enc_t"], pooled_t),
             enc(params["enc_v"], pooled_v),
-            enc(params["enc_a"], pooled_a))
+            enc(params["enc_a"], pooled_a),
+            moe_aux)

@@ -1,0 +1,125 @@
+"""Mixture-of-Experts FFN (Switch-style top-1 routing) + expert parallelism.
+
+Net-new capability with no reference counterpart (SoyeonHH/MMDA is dense
+everywhere); built TPU-first per the Switch Transformer / GShard recipe:
+
+- **Dense dispatch, static shapes.** Token->expert routing is expressed as
+  two einsums against a (N, E, C) one-hot dispatch tensor instead of
+  gather/scatter: every shape is static, XLA tiles the per-expert matmuls
+  onto the MXU as one batched (E, C, H) x (E, H, F) contraction, and there
+  is no data-dependent control flow inside jit.
+- **Capacity factor.** Each expert processes at most
+  C = ceil(capacity_factor * N / E) tokens; overflow tokens are dropped
+  from the FFN (their residual path keeps them alive) — the standard
+  static-shape trade.
+- **Expert parallelism** rides the existing TP 'model' axis: the E-leading
+  expert weights shard over 'model' (mesh.py::param_partition_specs) and an
+  activation constraint on the (E, C, H) dispatched blocks
+  (parallel/expert.py) lets XLA SPMD derive the all-to-all: each device
+  routes its tokens' blocks to the device holding the chosen expert and
+  back.  Same install/uninstall hook pattern as SP and PP.
+
+Aux losses (returned, never hidden in globals):
+- `balance`: E * sum_e(frac_tokens_e * mean_prob_e) — Switch load-balancing
+  loss, = 1.0 at perfectly uniform routing.
+- `router_z`: mean(logsumexp(logits)^2) — router z-loss for logit drift.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# Hook installed by parallel/expert.py: fn((E, C, ...) array) -> same array
+# with a sharding constraint on the leading expert axis.  None = no EP.
+_EXPERT_CONSTRAINT = None
+
+
+def set_expert_constraint(fn) -> None:
+    global _EXPERT_CONSTRAINT
+    _EXPERT_CONSTRAINT = fn
+
+
+def init_moe_ffn_params(key, hidden: int, intermediate: int, num_experts: int,
+                        std: float = 0.02) -> Dict:
+    """Gate (H, E) + E stacked expert FFNs.  The E-leading stacking is what
+    makes both the batched einsum and the EP sharding natural."""
+    k_g, k_in, k_out = jax.random.split(key, 3)
+    E, H, F = num_experts, hidden, intermediate
+    return {
+        "gate": {"kernel": jax.random.truncated_normal(
+            k_g, -2, 2, (H, E), jnp.float32) * std},
+        "w_in": jax.random.truncated_normal(
+            k_in, -2, 2, (E, H, F), jnp.float32) * std,
+        "b_in": jnp.zeros((E, F), jnp.float32),
+        "w_out": jax.random.truncated_normal(
+            k_out, -2, 2, (E, F, H), jnp.float32) * std,
+        "b_out": jnp.zeros((E, H), jnp.float32),
+    }
+
+
+def switch_ffn(
+    params: Dict,
+    x: jnp.ndarray,                  # (N, H) tokens
+    *,
+    capacity_factor: float = 1.25,
+    gelu_exact: bool = True,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Top-1 MoE FFN over N tokens.  Returns (y (N, H), aux losses).
+
+    Routing math in fp32 (standard: router numerics are precision-sensitive);
+    expert matmuls in compute_dtype on the MXU."""
+    N, H = x.shape
+    E = params["w_in"].shape[0]
+    C = max(int(math.ceil(capacity_factor * N / E)), 1)
+
+    xf = x.astype(jnp.float32)
+    logits = xf @ params["gate"]["kernel"].astype(jnp.float32)      # (N, E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    expert = jnp.argmax(probs, axis=-1)                             # (N,)
+    gate_p = jnp.max(probs, axis=-1)                                # (N,)
+
+    onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)           # (N, E)
+    # position of each token within its expert's queue (0-based)
+    pos = jnp.cumsum(onehot, axis=0) * onehot - onehot              # (N, E)
+    keep = onehot * (pos < C)                                       # (N, E)
+    # (N, E, C) one-hot dispatch; dropped tokens are all-zero rows
+    dispatch = keep[:, :, None] * jax.nn.one_hot(
+        jnp.sum(pos * onehot, axis=-1).astype(jnp.int32), C, dtype=jnp.float32
+    )[:, None, :]
+    combine = dispatch * gate_p[:, None, None]
+
+    dtype = jnp.dtype(compute_dtype)
+    xe = jnp.einsum("nec,nh->ech", dispatch.astype(dtype), x.astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+    if _EXPERT_CONSTRAINT is not None:
+        xe = _EXPERT_CONSTRAINT(xe)
+    h = jnp.einsum("ech,ehf->ecf", xe, params["w_in"].astype(dtype),
+                   preferred_element_type=jnp.float32)
+    h = h + params["b_in"][:, None].astype(jnp.float32)
+    if gelu_exact:
+        h = jax.nn.gelu(h, approximate=False)
+    else:
+        h = jax.nn.gelu(h, approximate=True)
+    h = h.astype(dtype)
+    if _EXPERT_CONSTRAINT is not None:
+        h = _EXPERT_CONSTRAINT(h)
+    ye = jnp.einsum("ecf,efh->ech", h, params["w_out"].astype(dtype),
+                    preferred_element_type=jnp.float32)
+    ye = ye + params["b_out"][:, None].astype(jnp.float32)
+    ye = ye.astype(dtype)
+    if _EXPERT_CONSTRAINT is not None:
+        ye = _EXPERT_CONSTRAINT(ye)
+    y = jnp.einsum("nec,ech->nh", combine.astype(dtype), ye,
+                   preferred_element_type=jnp.float32)
+
+    frac_tokens = jnp.mean(onehot, axis=0)                          # (E,)
+    mean_prob = jnp.mean(probs, axis=0)                             # (E,)
+    balance = E * jnp.sum(frac_tokens * mean_prob)
+    router_z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
+    return y, {"balance": balance, "router_z": router_z}

@@ -136,6 +136,17 @@ def _bert_layer_spec(layer: dict, tp: bool) -> dict:
             spec[name] = {"kernel": P(None, MODEL_AXIS), "bias": P(MODEL_AXIS)}
         elif name in ("attn_out", "ffn_out"):
             spec[name] = {"kernel": P(MODEL_AXIS, None), "bias": P()}
+        elif name == "moe":
+            # expert parallelism: stacked expert weights shard on their
+            # leading E axis over the same 'model' devices (parallel/expert.py
+            # constrains the dispatched activation blocks to match)
+            spec[name] = {
+                "gate": {"kernel": P()},
+                "w_in": P(MODEL_AXIS, None, None),
+                "b_in": P(MODEL_AXIS, None),
+                "w_out": P(MODEL_AXIS, None, None),
+                "b_out": P(MODEL_AXIS, None),
+            }
         else:  # layer norms
             spec[name] = jax.tree_util.tree_map(lambda _: P(), sub)
     return spec

@@ -89,7 +89,9 @@ class Predictor:
 
         pallas_flags.set_enabled(
             cfg.use_pallas and jax.default_backend() == "tpu")
-        self.bert_cfg = bert_cfg or (BertConfig.base() if cfg.use_bert else None)
+        from mmda_tpu.models.bert import bert_config_for
+
+        self.bert_cfg = bert_cfg or bert_config_for(cfg)
         self.max_batch = max_batch
         # raw-text path: a WordPieceTokenizer (etl/tokenizer.py) turns
         # `{"text": "a string"}` requests into bert ids; word2id maps words to

@@ -95,6 +95,23 @@ class Trainer:
 
             self.bert_cfg = dataclasses.replace(
                 self.bert_cfg, dropout_bits=8, dropout_recompute=True)
+        if cfg.moe_experts > 0:
+            # Switch-MoE BERT FFN (ops/moe.py); net-new vs the dense reference
+            import dataclasses
+
+            if not cfg.use_bert:
+                raise ValueError("moe_experts > 0 replaces the BERT FFNs; "
+                                 "use_bert=False has no MoE site")
+            if cfg.pp_size > 1:
+                raise ValueError("moe_experts > 0 does not compose with "
+                                 "pp_size > 1 (pipelined encoder)")
+            if cfg.tp_size > 1 and cfg.moe_experts % cfg.tp_size:
+                raise ValueError(
+                    f"moe_experts={cfg.moe_experts} must be divisible by "
+                    f"tp_size={cfg.tp_size} for expert parallelism")
+            self.bert_cfg = dataclasses.replace(
+                self.bert_cfg, moe_experts=cfg.moe_experts,
+                moe_capacity_factor=cfg.moe_capacity_factor)
         self.pretrained_emb = pretrained_emb
         self.logger = logger or MetricLogger(cfg.log_sinks, run_name=cfg.name)
 
@@ -149,6 +166,11 @@ class Trainer:
                     raise ValueError("sp=True needs tp_size > 1 (S is "
                                      "sharded over the TP 'model' axis)")
                 psq.install_sequence_sharding(self.mesh)
+            if cfg.moe_experts > 0 and cfg.tp_size > 1:
+                # expert parallelism over the same 'model' devices
+                from mmda_tpu.parallel import expert as pexp
+
+                pexp.install_expert_sharding(self.mesh)
         elif cfg.sp:
             raise ValueError("sp=True needs a mesh with a 'model' axis "
                              "(tp_size > 1)")

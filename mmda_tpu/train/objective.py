@@ -65,6 +65,18 @@ def compute_losses(cfg: Config, out: MISAOutput, batch: Batch) -> Dict[str, jnp.
     if cfg.use_confidNet:
         total = total + cfg.conf_weight * conf
 
+    # Switch-MoE router losses (net-new vs the reference — dense everywhere):
+    # load balance keeps experts uniformly utilized, z-loss bounds router
+    # logit drift (ops/moe.py).  Zero when the tower is dense so the loss-dict
+    # keys stay identical across configurations.
+    moe_aux = getattr(out, "moe_aux", None)
+    if moe_aux is not None:
+        moe = (cfg.moe_aux_weight * moe_aux["balance"]
+               + cfg.moe_z_weight * moe_aux["router_z"])
+        total = total + moe
+    else:
+        moe = jnp.zeros(())
+
     return {
         "total": total,
         "cls": cls_loss,
@@ -72,4 +84,5 @@ def compute_losses(cfg: Config, out: MISAOutput, batch: Batch) -> Dict[str, jnp.
         "sim": sim,
         "recon": recon,
         "conf": conf,
+        "moe": moe,
     }
