@@ -78,6 +78,11 @@ class BertConfig:
                                   # returns (hidden, aux_losses).  Net-new
                                   # scale-out capability (no ref counterpart)
     moe_capacity_factor: float = 1.25  # per-expert token capacity multiplier
+    moe_group_by_example: bool = True  # GShard dispatch grouping: route each
+                                  # example's S tokens as an independent
+                                  # group (capacity per example; cuts the
+                                  # dispatch-einsum FLOPs by B).  False =
+                                  # one global group over all B*S tokens.
 
     @staticmethod
     def base() -> "BertConfig":
@@ -582,7 +587,8 @@ def bert_layer(x, lp, layer_rngs, *, cfg: BertConfig, attn_bias, dropout,
         h2, moe_aux = switch_ffn(
             lp["moe"], x.reshape(B * S, H),
             capacity_factor=cfg.moe_capacity_factor,
-            gelu_exact=cfg.gelu_exact, compute_dtype=compute_dtype)
+            gelu_exact=cfg.gelu_exact, compute_dtype=compute_dtype,
+            groups=B if cfg.moe_group_by_example else 1)
         h = h2.reshape(B, S, H).astype(compute_dtype)
     else:
         h = _apply_dense(lp["ffn_in"], x, compute_dtype)

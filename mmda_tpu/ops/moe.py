@@ -69,34 +69,53 @@ def switch_ffn(
     capacity_factor: float = 1.25,
     gelu_exact: bool = True,
     compute_dtype=jnp.bfloat16,
+    groups: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Top-1 MoE FFN over N tokens.  Returns (y (N, H), aux losses).
 
     Routing math in fp32 (standard: router numerics are precision-sensitive);
-    expert matmuls in compute_dtype on the MXU."""
+    expert matmuls in compute_dtype on the MXU.
+
+    groups: GShard-style dispatch grouping.  The one-hot dispatch einsums
+    cost ~capacity_factor * N^2 * H FLOPs ungrouped — quadratic in tokens.
+    Routing G independent groups of n = N/G tokens (each with its own
+    per-expert capacity C = ceil(cf * n / E)) cuts that by G while keeping
+    every shape static; the expert GEMMs see the same (E, G*C, H) total
+    work.  bert_layer groups by example (G = batch), the GShard convention.
+    Capacity becomes per-group — overflow is decided within each group,
+    which is the standard locality trade."""
     N, H = x.shape
     E = params["w_in"].shape[0]
-    C = max(int(math.ceil(capacity_factor * N / E)), 1)
+    G = groups
+    if N % G:
+        raise ValueError(f"groups={G} must divide token count N={N}")
+    n = N // G
+    C = max(int(math.ceil(capacity_factor * n / E)), 1)
 
-    xf = x.astype(jnp.float32)
-    logits = xf @ params["gate"]["kernel"].astype(jnp.float32)      # (N, E)
+    xg = x.reshape(G, n, H)
+    xf = xg.astype(jnp.float32)
+    logits = jnp.einsum("gnh,he->gne", xf,
+                        params["gate"]["kernel"].astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)
-    expert = jnp.argmax(probs, axis=-1)                             # (N,)
-    gate_p = jnp.max(probs, axis=-1)                                # (N,)
+    expert = jnp.argmax(probs, axis=-1)                             # (G, n)
+    gate_p = jnp.max(probs, axis=-1)                                # (G, n)
 
-    onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)           # (N, E)
-    # position of each token within its expert's queue (0-based)
-    pos = jnp.cumsum(onehot, axis=0) * onehot - onehot              # (N, E)
-    keep = onehot * (pos < C)                                       # (N, E)
-    # (N, E, C) one-hot dispatch; dropped tokens are all-zero rows
-    dispatch = keep[:, :, None] * jax.nn.one_hot(
+    onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)           # (G, n, E)
+    # position of each token within its expert's per-group queue (0-based)
+    pos = jnp.cumsum(onehot, axis=1) * onehot - onehot              # (G, n, E)
+    keep = onehot * (pos < C)                                       # (G, n, E)
+    # (G, n, E, C) one-hot dispatch; dropped tokens are all-zero rows
+    dispatch = keep[..., None] * jax.nn.one_hot(
         jnp.sum(pos * onehot, axis=-1).astype(jnp.int32), C, dtype=jnp.float32
-    )[:, None, :]
-    combine = dispatch * gate_p[:, None, None]
+    )[:, :, None, :]
+    combine = dispatch * gate_p[..., None, None]
 
     dtype = jnp.dtype(compute_dtype)
-    xe = jnp.einsum("nec,nh->ech", dispatch.astype(dtype), x.astype(dtype),
+    xe = jnp.einsum("gnec,gnh->gech", dispatch.astype(dtype), xg.astype(dtype),
                     preferred_element_type=jnp.float32).astype(dtype)
+    # flatten (group, slot) into one capacity axis so the expert GEMMs and
+    # the EP sharding see the same (E, G*C, H) blocks regardless of G
+    xe = xe.transpose(1, 0, 2, 3).reshape(E, G * C, H)
     if _EXPERT_CONSTRAINT is not None:
         xe = _EXPERT_CONSTRAINT(xe)
     h = jnp.einsum("ech,ehf->ecf", xe, params["w_in"].astype(dtype),
@@ -115,11 +134,12 @@ def switch_ffn(
     ye = ye.astype(dtype)
     if _EXPERT_CONSTRAINT is not None:
         ye = _EXPERT_CONSTRAINT(ye)
-    y = jnp.einsum("nec,ech->nh", combine.astype(dtype), ye,
+    yg = ye.reshape(E, G, C, H).transpose(1, 0, 2, 3)               # (G,E,C,H)
+    y = jnp.einsum("gnec,gech->gnh", combine.astype(dtype), yg,
                    preferred_element_type=jnp.float32)
 
-    frac_tokens = jnp.mean(onehot, axis=0)                          # (E,)
-    mean_prob = jnp.mean(probs, axis=0)                             # (E,)
+    frac_tokens = jnp.mean(onehot, axis=(0, 1))                     # (E,)
+    mean_prob = jnp.mean(probs, axis=(0, 1))                        # (E,)
     balance = E * jnp.sum(frac_tokens * mean_prob)
     router_z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
-    return y, {"balance": balance, "router_z": router_z}
+    return y.reshape(N, H), {"balance": balance, "router_z": router_z}

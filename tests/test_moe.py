@@ -79,6 +79,48 @@ def test_identical_experts_match_dense_any_routing():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_grouped_dispatch_matches_ungrouped_at_ample_capacity():
+    """Routing decisions are per-token and identical under grouping; with
+    capacity ample enough that neither variant drops, outputs must match
+    exactly (grouping only changes the dispatch-einsum shape/FLOPs)."""
+    E, H, N, G = 2, 8, 16, 4
+    p = init_moe_ffn_params(jax.random.PRNGKey(4), H, 16, num_experts=E)
+    x = _tokens(n=N, h=H)
+    y1, aux1 = switch_ffn(p, x, capacity_factor=float(E),
+                          compute_dtype=jnp.float32, groups=1)
+    yg, auxg = switch_ffn(p, x, capacity_factor=float(E),
+                          compute_dtype=jnp.float32, groups=G)
+    np.testing.assert_allclose(np.asarray(yg), np.asarray(y1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(auxg["balance"]),
+                               float(aux1["balance"]), rtol=1e-6)
+
+
+def test_grouped_capacity_is_per_group():
+    """With G groups, each group gets its own C slots per expert: a token
+    distribution that overflows globally can fit per-group and vice versa."""
+    E, H = 1, 8
+    p = init_moe_ffn_params(jax.random.PRNGKey(5), H, 16, num_experts=E)
+    x = _tokens(n=8, h=H)
+    # E=1: every token routes to expert 0.  capacity_factor=0.5 ->
+    # ungrouped C=4 (tokens 4..7 dropped); G=4 -> per-group C=1 (token 0 of
+    # each group kept: global indices 0, 2, 4, 6)
+    yu, _ = switch_ffn(p, x, capacity_factor=0.5,
+                       compute_dtype=jnp.float32, groups=1)
+    yg, _ = switch_ffn(p, x, capacity_factor=0.5,
+                       compute_dtype=jnp.float32, groups=4)
+    yu, yg = np.asarray(yu), np.asarray(yg)
+    assert np.abs(yu[:4]).sum() > 0 and np.abs(yu[4:]).sum() == 0
+    kept = np.abs(yg).sum(axis=1) > 0
+    np.testing.assert_array_equal(kept, [True, False] * 4)
+
+
+def test_groups_must_divide_tokens():
+    p = init_moe_ffn_params(jax.random.PRNGKey(6), 8, 16, num_experts=2)
+    with pytest.raises(ValueError, match="divide"):
+        switch_ffn(p, _tokens(n=10), groups=4)
+
+
 def _moe_bert_cfg(**kw):
     return dataclasses.replace(
         jbert.BertConfig(vocab_size=64, hidden_size=16, num_layers=2,
@@ -179,6 +221,39 @@ def test_trainer_rejects_bad_moe_configs():
     with pytest.raises(ValueError, match="divisible"):
         Trainer(Config(**base, moe_experts=3, tp_size=2), data,
                 use_mesh=False)
+
+
+def test_moe_checkpoint_serves(tmp_path):
+    """Train->serve seam for MoE: a Trainer-saved MoE checkpoint loads into
+    a Predictor built from the same Config (bert_config_for applies the MoE
+    knobs) and returns finite scores."""
+    from mmda_tpu.serving import Predictor
+    from mmda_tpu.train.loop import Trainer
+
+    split = make_split(SyntheticSpec(
+        num_examples=8, max_len=8, visual_size=5, acoustic_size=6,
+        vocab_size=64, bert_vocab_size=64, seed=1))
+    data = {"train": split, "dev": split, "test": split}
+    cfg = Config(use_bert=True, batch_size=8, n_epoch=1,
+                 compute_dtype="float32", hidden_size=16, visual_size=5,
+                 acoustic_size=6, moe_experts=2, name="moe_serve",
+                 ckpt_dir=str(tmp_path), bucket_sizes=(8,))
+    bert_cfg = _moe_bert_cfg()
+    tr = Trainer(cfg, data, bert_cfg=bert_cfg, use_mesh=False)
+    tr.train()
+
+    pred = Predictor(cfg, bert_cfg=bert_cfg, visual_size=5, acoustic_size=6,
+                     vocab_size=64, max_batch=8)
+    L = 5
+    req = {"text": RNG.integers(1, 64, size=L).astype(np.int32),
+           "visual": RNG.normal(size=(L, 5)).astype(np.float32),
+           "acoustic": RNG.normal(size=(L, 6)).astype(np.float32),
+           "bert_ids": RNG.integers(3, 64, size=L + 2).astype(np.int32),
+           "bert_type": np.zeros(L + 2, np.int32),
+           "bert_mask": np.ones(L + 2, np.int32)}
+    out = pred([req, req])
+    scores = np.asarray(out["scores"][:2])
+    assert np.isfinite(scores).all()
 
 
 def test_hf_sparse_upcycling(tmp_path):
