@@ -256,6 +256,35 @@ def test_moe_checkpoint_serves(tmp_path):
     assert np.isfinite(scores).all()
 
 
+def test_trainer_moe_with_tp_mesh(tmp_path):
+    """Trainer-level EP integration: tp_size=2 + moe_experts=2 builds the
+    (4,2) mesh, installs the expert constraint, E-shards the expert weights,
+    and trains one epoch with finite losses."""
+    from mmda_tpu.ops import moe as jmoe
+    from mmda_tpu.train.loop import Trainer
+
+    split = make_split(SyntheticSpec(
+        num_examples=16, max_len=8, visual_size=5, acoustic_size=6,
+        vocab_size=64, bert_vocab_size=64, seed=2))
+    data = {"train": split, "dev": split, "test": split}
+    cfg = Config(use_bert=True, batch_size=16, n_epoch=1,
+                 compute_dtype="float32", hidden_size=16, visual_size=5,
+                 acoustic_size=6, moe_experts=2, tp_size=2,
+                 name="moe_tp", ckpt_dir=str(tmp_path), bucket_sizes=(8,))
+    bert_cfg = _moe_bert_cfg()
+    try:
+        tr = Trainer(cfg, data, bert_cfg=bert_cfg)
+        assert tr.mesh is not None and tr.mesh.shape["model"] == 2
+        assert jmoe._EXPERT_CONSTRAINT is not None
+        w_in = tr.state.params["bert"]["layers"][0]["moe"]["w_in"]
+        # expert axis sharded over 'model': each shard holds E/tp experts
+        assert w_in.sharding.spec[0] == "model"
+        summary = tr.train()
+        assert np.isfinite(summary["best_valid_loss"])
+    finally:
+        jmoe.set_expert_constraint(None)
+
+
 def test_hf_sparse_upcycling(tmp_path):
     """load_hf_weights with moe_experts > 0 tiles the dense checkpoint FFN
     into every expert (Komatsuzaki et al. sparse upcycling)."""
