@@ -264,6 +264,10 @@ class Config:
     moe_aux_weight: float = 0.01  # Switch load-balance loss weight
     moe_z_weight: float = 0.001   # router z-loss weight
 
+    # MMIM (models/mmim.py) MI-term weights (paper's alpha/beta)
+    mmim_alpha: float = 0.1       # Barber-Agakov NLL (low-level MI) weight
+    mmim_beta: float = 0.1        # CPC/InfoNCE (high-level MI) weight
+
     # Engine
     ckpt_dir: str = "checkpoints"
     resume: bool = False

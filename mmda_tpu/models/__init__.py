@@ -12,6 +12,7 @@ from mmda_tpu.models.mult import init_mult_params, mult_forward
 from mmda_tpu.models.lmf import init_lmf_params, lmf_forward
 from mmda_tpu.models.tfn import init_tfn_params, tfn_forward
 from mmda_tpu.models.mag_bert import init_mag_bert_params, mag_bert_forward
+from mmda_tpu.models.mmim import init_mmim_params, mmim_forward
 
 _REGISTRY = {
     "MISA": (init_misa_params, misa_forward),
@@ -21,6 +22,7 @@ _REGISTRY = {
     "LMF": (init_lmf_params, lmf_forward),
     "TFN": (init_tfn_params, tfn_forward),
     "MAG_BERT": (init_mag_bert_params, mag_bert_forward),
+    "MMIM": (init_mmim_params, mmim_forward),
 }
 
 

@@ -82,6 +82,12 @@ class MISAOutput(NamedTuple):
     moe_aux: Optional[Dict] = None  # Switch router aux losses
                                  # ({'balance','router_z'}, ops/moe.py) when
                                  # the BERT tower runs with moe_experts > 0
+    model_aux: Optional[Dict] = None  # model-family-specific auxiliary
+                                 # objective, pre-weighted by the model under
+                                 # key 'total' (+ raw components for
+                                 # inspection); e.g. MMIM's MI terms
+                                 # (models/mmim.py).  The objective adds and
+                                 # logs 'total' generically.
 
 
 class Batch(NamedTuple):

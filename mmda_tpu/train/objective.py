@@ -77,6 +77,16 @@ def compute_losses(cfg: Config, out: MISAOutput, batch: Batch) -> Dict[str, jnp.
     else:
         moe = jnp.zeros(())
 
+    # model-family-specific auxiliary objective (MISAOutput.model_aux),
+    # pre-weighted by the model under 'total' — e.g. MMIM's MI terms
+    # (models/mmim.py).  Zero key kept for loss-dict consistency.
+    model_aux = getattr(out, "model_aux", None)
+    if model_aux is not None:
+        aux = model_aux["total"]
+        total = total + aux
+    else:
+        aux = jnp.zeros(())
+
     return {
         "total": total,
         "cls": cls_loss,
@@ -85,4 +95,5 @@ def compute_losses(cfg: Config, out: MISAOutput, batch: Batch) -> Dict[str, jnp.
         "recon": recon,
         "conf": conf,
         "moe": moe,
+        "model_aux": aux,
     }
