@@ -1,0 +1,83 @@
+"""Long-sequence attention: substantiate (or reject) the 'flash wins at
+long S' design claim with TPU measurements.
+
+RESULTS.md only ever measured the Pallas blockwise flash kernel at the MOSEI
+shape (S=50, rejected: +3.73 ms).  This bench measures the bert-base forward
+(deterministic — the kernel is a forward-only custom_vjp by design, its
+docstring says why) at growing sequence lengths, XLA attention vs flash.
+
+Methodology: one lax.scan over n_steps distinct batches per variant, host
+readback of a scalar reduction per rep, median of reps (CLAUDE.md relay
+rules).  Run: PYTHONPATH=/root/repo:/root/.axon_site python
+benchmarks/bench_long_seq.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mmda_tpu.models import bert as jbert
+
+    B = int(os.environ.get("BENCH_B", "8"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    lengths = [int(s) for s in
+               os.environ.get("BENCH_S", "64,256,512").split(",")]
+
+    cfg = jbert.BertConfig.base()
+    rng = np.random.default_rng(0)
+    params = jbert.init_bert_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+
+    def measure(S, impl):
+        ids = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, size=(n_steps, B, S)), jnp.int32)
+        mask = jnp.ones((n_steps, B, S), jnp.int32)
+
+        @jax.jit
+        def run(params, ids, mask):
+            def body(_, xs):
+                i, m = xs
+                h = jbert.bert_encode(params, cfg, i, m, deterministic=True,
+                                      attn_impl=impl,
+                                      compute_dtype=jnp.bfloat16)
+                return None, jnp.sum(h.astype(jnp.float32))
+            _, sums = jax.lax.scan(body, None, (ids, mask))
+            return sums
+
+        t0 = time.perf_counter()
+        _ = float(run(params, ids, mask)[-1])          # compile + warmup
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(run(params, ids, mask)[-1])      # forces completion
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
+        print(json.dumps({
+            "S": S, "impl": impl, "B": B,
+            "ms_per_fwd": round(dt / n_steps * 1e3, 2),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+
+    for S in lengths:
+        for impl in ("xla", "flash"):
+            measure(S, impl)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,14 +26,20 @@ NEG_INF = -1e30
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, scale: float):
     """Grid: (batch*heads, q_blocks).  q/k/v/o blocks carry a leading
-    singleton batch dim: q (1, Bq, D), k/v (1, S, D), o (1, Bq, D).  The bias
-    arrives as the FULL (BH, S) array (mosaic requires the last two block
-    dims tile-aligned or whole; a (1, S) block violates that at S=50) and is
-    indexed by the program id."""
+    singleton batch dim: q (1, Bq, D), k/v (1, S, D), o (1, Bq, D).  The
+    bias arrives as a (1, num_kb, block_k) per-program block (reshaped in
+    _flash_forward) so EVERY in-kernel index below is static.
+
+    Static Python unroll over K blocks (num_kb is a trace-time constant):
+    a lax.fori_loop / program-id-indexed bias here makes slice offsets
+    dynamic, and Mosaic rejects "dynamic load with unaligned indices" —
+    caught the first time the kernel was actually COMPILED at S=256 on
+    hardware (benchmarks/bench_long_seq.py; the S<=64 single-block shapes
+    it had been measured at never exercised the loop).  Trip counts are
+    tiny (S/128: 4 at S=512)."""
     q = q_ref[0] * scale                              # (Bq, D)
     S = k_ref.shape[1]
     Bq, D = q.shape
-    bh = pl.program_id(0)
 
     m = jnp.full((Bq, 1), NEG_INF, jnp.float32)       # running max
     l = jnp.zeros((Bq, 1), jnp.float32)               # running denom
@@ -41,20 +47,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, scale: 
 
     num_kb = S // block_k
 
-    def body(i, carry):
-        m, l, acc = carry
+    for i in range(num_kb):
         k = k_ref[0, pl.ds(i * block_k, block_k), :]  # (Bk, D)
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        b = bias_ref[bh, pl.ds(i * block_k, block_k)]  # (Bk,)
+        b = bias_ref[0, i, :]                          # (Bk,)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b[None, :]
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return m_new, l, acc
-
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
+        m = m_new
     o_ref[0] = acc / l
 
 
@@ -77,6 +80,11 @@ def _flash_forward(q, k, v, bias, block_q: int = 128, block_k: int = 128):
 
     kernel = functools.partial(_flash_kernel, block_k=block_k,
                                scale=1.0 / np.sqrt(D))
+    num_kb = Sk // block_k
+    # (BH, num_kb, block_k): per-program (1, num_kb, block_k) blocks whose
+    # trailing two dims are WHOLE — tile-legal at any S, and the kernel
+    # indexes it with static offsets only (see _flash_kernel docstring)
+    bias_blocks = bias.reshape(BH, num_kb, block_k)
     out = pl.pallas_call(
         kernel,
         grid=(BH, Sq // block_q),
@@ -87,14 +95,14 @@ def _flash_forward(q, k, v, bias, block_q: int = 128, block_k: int = 128):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BH, Sk), lambda b, i: (0, 0),
+            pl.BlockSpec((1, num_kb, block_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, Sq, D), jnp.float32),
         interpret=_interpret(),
-    )(q, k, v, bias)
+    )(q, k, v, bias_blocks)
     return out[:, :S, :]
 
 

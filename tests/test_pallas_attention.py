@@ -18,7 +18,9 @@ def _interpret_mode():
     fa.set_force_interpret(False)
 
 
-@pytest.mark.parametrize("S", [16, 40])  # 40 exercises padding to block size
+@pytest.mark.parametrize("S", [16, 40, 300])  # 40 exercises padding to block
+# size; 300 exercises the MULTI-K-block path (3 blocks of 128 + padding) —
+# the path Mosaic rejected until the static unroll fix (bench_long_seq.py)
 def test_flash_matches_xla(S):
     BH, D = 6, 8
     q = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
