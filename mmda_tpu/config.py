@@ -261,6 +261,7 @@ class Config:
                                   # the 'model' axis (expert parallelism,
                                   # parallel/expert.py) when tp_size > 1
     moe_capacity_factor: float = 1.25  # per-expert token capacity multiplier
+    moe_top_k: int = 1            # 1 = Switch top-1; 2 = GShard top-2
     moe_aux_weight: float = 0.01  # Switch load-balance loss weight
     moe_z_weight: float = 0.001   # router z-loss weight
 

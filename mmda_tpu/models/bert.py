@@ -78,6 +78,9 @@ class BertConfig:
                                   # returns (hidden, aux_losses).  Net-new
                                   # scale-out capability (no ref counterpart)
     moe_capacity_factor: float = 1.25  # per-expert token capacity multiplier
+    moe_top_k: int = 1            # 1 = Switch top-1 routing; 2 = GShard
+                                  # top-2 (normalized gates, second choice
+                                  # queues after first-choice tokens)
     moe_group_by_example: bool = True  # GShard dispatch grouping: route each
                                   # example's S tokens as an independent
                                   # group (capacity per example; cuts the
@@ -588,7 +591,8 @@ def bert_layer(x, lp, layer_rngs, *, cfg: BertConfig, attn_bias, dropout,
             lp["moe"], x.reshape(B * S, H),
             capacity_factor=cfg.moe_capacity_factor,
             gelu_exact=cfg.gelu_exact, compute_dtype=compute_dtype,
-            groups=B if cfg.moe_group_by_example else 1)
+            groups=B if cfg.moe_group_by_example else 1,
+            top_k=cfg.moe_top_k)
         h = h2.reshape(B, S, H).astype(compute_dtype)
     else:
         h = _apply_dense(lp["ffn_in"], x, compute_dtype)
@@ -630,7 +634,8 @@ def bert_config_for(cfg) -> Optional["BertConfig"]:
     bc = BertConfig.base()
     if getattr(cfg, "moe_experts", 0) > 0:
         bc = dataclasses.replace(bc, moe_experts=cfg.moe_experts,
-                                 moe_capacity_factor=cfg.moe_capacity_factor)
+                                 moe_capacity_factor=cfg.moe_capacity_factor,
+                                 moe_top_k=getattr(cfg, "moe_top_k", 1))
     return bc
 
 

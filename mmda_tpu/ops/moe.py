@@ -1,4 +1,4 @@
-"""Mixture-of-Experts FFN (Switch-style top-1 routing) + expert parallelism.
+"""Mixture-of-Experts FFN (Switch top-1 / GShard top-2) + expert parallelism.
 
 Net-new capability with no reference counterpart (SoyeonHH/MMDA is dense
 everywhere); built TPU-first per the Switch Transformer / GShard recipe:
@@ -70,8 +70,10 @@ def switch_ffn(
     gelu_exact: bool = True,
     compute_dtype=jnp.bfloat16,
     groups: int = 1,
+    top_k: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Top-1 MoE FFN over N tokens.  Returns (y (N, H), aux losses).
+    """Top-k MoE FFN over N tokens (k=1 Switch, k=2 GShard).
+    Returns (y (N, H), aux losses).
 
     Routing math in fp32 (standard: router numerics are precision-sensitive);
     expert matmuls in compute_dtype on the MXU.
@@ -89,8 +91,10 @@ def switch_ffn(
     G = groups
     if N % G:
         raise ValueError(f"groups={G} must divide token count N={N}")
+    if top_k not in (1, 2):
+        raise ValueError(f"top_k must be 1 (Switch) or 2 (GShard), got {top_k}")
     n = N // G
-    C = max(int(math.ceil(capacity_factor * n / E)), 1)
+    C = max(int(math.ceil(capacity_factor * top_k * n / E)), 1)
 
     xg = x.reshape(G, n, H)
     xf = xg.astype(jnp.float32)
@@ -101,14 +105,36 @@ def switch_ffn(
     gate_p = jnp.max(probs, axis=-1)                                # (G, n)
 
     onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)           # (G, n, E)
+
+    def make_dispatch(oh, pos):
+        """(G, n, E) one-hot + per-expert queue position -> (G, n, E, C)
+        one-hot dispatch; over-capacity tokens are all-zero rows."""
+        keep = oh * (pos < C)
+        return keep[..., None] * jax.nn.one_hot(
+            jnp.sum(pos * oh, axis=-1).astype(jnp.int32), C,
+            dtype=jnp.float32)[:, :, None, :]
+
     # position of each token within its expert's per-group queue (0-based)
-    pos = jnp.cumsum(onehot, axis=1) * onehot - onehot              # (G, n, E)
-    keep = onehot * (pos < C)                                       # (G, n, E)
-    # (G, n, E, C) one-hot dispatch; dropped tokens are all-zero rows
-    dispatch = keep[..., None] * jax.nn.one_hot(
-        jnp.sum(pos * onehot, axis=-1).astype(jnp.int32), C, dtype=jnp.float32
-    )[:, :, None, :]
-    combine = dispatch * gate_p[..., None, None]
+    pos1 = jnp.cumsum(onehot, axis=1) * onehot - onehot             # (G, n, E)
+    dispatch = make_dispatch(onehot, pos1)
+    if top_k == 1:
+        combine = dispatch * gate_p[..., None, None]
+    else:
+        # GShard second choice: argmax with the first expert masked out;
+        # its tokens queue AFTER all of the expert's first-choice tokens
+        probs2 = probs * (1.0 - onehot)
+        expert2 = jnp.argmax(probs2, axis=-1)                       # (G, n)
+        gate_p2 = jnp.max(probs2, axis=-1)
+        onehot2 = jax.nn.one_hot(expert2, E, dtype=jnp.float32)
+        count1 = jnp.sum(onehot, axis=1, keepdims=True)             # (G, 1, E)
+        pos2 = (jnp.cumsum(onehot2, axis=1) * onehot2 - onehot2
+                + count1 * onehot2)
+        dispatch2 = make_dispatch(onehot2, pos2)
+        # normalized top-2 gates (GShard): weights sum to 1 per token
+        denom = gate_p + gate_p2 + 1e-9
+        combine = (dispatch * (gate_p / denom)[..., None, None]
+                   + dispatch2 * (gate_p2 / denom)[..., None, None])
+        dispatch = dispatch + dispatch2
 
     dtype = jnp.dtype(compute_dtype)
     xe = jnp.einsum("gnec,gnh->gech", dispatch.astype(dtype), xg.astype(dtype),

@@ -111,7 +111,8 @@ class Trainer:
                     f"tp_size={cfg.tp_size} for expert parallelism")
             self.bert_cfg = dataclasses.replace(
                 self.bert_cfg, moe_experts=cfg.moe_experts,
-                moe_capacity_factor=cfg.moe_capacity_factor)
+                moe_capacity_factor=cfg.moe_capacity_factor,
+                moe_top_k=cfg.moe_top_k)
         self.pretrained_emb = pretrained_emb
         self.logger = logger or MetricLogger(cfg.log_sinks, run_name=cfg.name)
 
