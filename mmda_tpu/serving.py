@@ -66,6 +66,7 @@ class Predictor:
         word2id: Optional[Dict[str, int]] = None,
         mesh=None,
         overflow: str = "error",
+        bert_weights_dtype: Optional[str] = "auto",
     ):
         """mesh: optional jax.sharding.Mesh (parallel/mesh.py) for sharded
         serving — params are sharded over it (replicated, or Megatron-TP when
@@ -108,6 +109,25 @@ class Predictor:
                 vocab_size=vocab_size, bert_cfg=self.bert_cfg)
             name = ckpt.best_model_name(cfg)
             params = ckpt.load_checkpoint(cfg.ckpt_dir, name, template)
+        # bf16 WEIGHT STORAGE for the BERT tower (serving default on TPU):
+        # every _apply_dense already computes in compute_dtype via a per-call
+        # kernel cast, so f32 storage just means reading 2x the bytes from
+        # HBM per call and converting.  Casting the big 2-D+ leaves ONCE at
+        # load makes those casts no-ops and halves the tower's weight
+        # traffic; biases/LayerNorm params stay f32 (negligible bytes,
+        # f32-upcast sites).  'auto' = bf16 iff serving on TPU with a bf16
+        # compute dtype; pass None to keep checkpoint dtypes.
+        if bert_weights_dtype == "auto":
+            bert_weights_dtype = (
+                "bfloat16" if (jax.default_backend() == "tpu"
+                               and cfg.compute_dtype == "bfloat16") else None)
+        if bert_weights_dtype and isinstance(params, dict) and "bert" in params:
+            wdt = jnp.dtype(bert_weights_dtype)
+            params = dict(params, bert=jax.tree_util.tree_map(
+                lambda x: (x.astype(wdt)
+                           if (hasattr(x, "ndim") and x.ndim >= 2
+                               and x.dtype == jnp.float32) else x),
+                params["bert"]))
         self.mesh = mesh
         if mesh is not None:
             from mmda_tpu.parallel import mesh as pmesh

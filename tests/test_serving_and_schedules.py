@@ -268,3 +268,36 @@ def test_cosine_schedule_through_trainer(tmp_path):
     summary = Trainer(cfg, data, use_mesh=False).train()
     import numpy as np
     assert np.isfinite(summary["test_loss"])
+
+
+def test_predictor_bf16_bert_weights_close_to_f32():
+    """bert_weights_dtype='bfloat16' casts the tower's 2-D+ leaves once at
+    load (serving HBM-traffic halving); scores stay within bf16 round-off of
+    the f32-weight predictor and small params stay f32."""
+    from mmda_tpu.models.bert import BertConfig
+
+    cfg = _cfg(use_bert=True)
+    bc = BertConfig.tiny(vocab_size=64)
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg, bert_cfg=bc)
+    pred32 = Predictor(cfg, params=params, bert_cfg=bc, max_batch=8)
+    pred16 = Predictor(cfg, params=params, bert_cfg=bc, max_batch=8,
+                       bert_weights_dtype="bfloat16")
+    assert pred16.params["bert"]["layers"][0]["q"]["kernel"].dtype == jnp.bfloat16
+    assert pred16.params["bert"]["layers"][0]["q"]["bias"].dtype == jnp.float32
+    assert pred16.params["bert"]["layers"][0]["attn_ln"]["scale"].dtype == jnp.float32
+
+    def req(L):
+        return {
+            "text": RNG.integers(2, 64, size=L).astype(np.int32),
+            "visual": RNG.normal(size=(L, 5)).astype(np.float32),
+            "acoustic": RNG.normal(size=(L, 6)).astype(np.float32),
+            "bert_ids": RNG.integers(3, 64, size=L + 2).astype(np.int32),
+            "bert_type": np.zeros(L + 2, np.int32),
+            "bert_mask": np.ones(L + 2, np.int32),
+        }
+
+    reqs = [req(3), req(6)]
+    s32 = np.asarray(pred32(reqs)["scores"][:2])
+    s16 = np.asarray(pred16(reqs)["scores"][:2])
+    np.testing.assert_allclose(s16, s32, atol=2e-2)
