@@ -265,6 +265,12 @@ class Config:
     moe_aux_weight: float = 0.01  # Switch load-balance loss weight
     moe_z_weight: float = 0.001   # router z-loss weight
 
+    zero1: bool = False           # ZeRO-1: shard optimizer state (Adam m/v)
+                                  # over the DP 'data' axis instead of
+                                  # replicating (parallel/mesh.py::
+                                  # zero1_opt_specs); 1/dp optimizer memory
+                                  # per device, same collective volume
+
     # MMIM (models/mmim.py) MI-term weights (paper's alpha/beta)
     mmim_alpha: float = 0.1       # Barber-Agakov NLL (low-level MI) weight
     mmim_beta: float = 0.1        # CPC/InfoNCE (high-level MI) weight

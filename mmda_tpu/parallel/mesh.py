@@ -7,8 +7,10 @@ sharded over 'data' (DP with gradient allreduce emitted by XLA SPMD over ICI),
 and BERT attention/MLP weights shardable over 'model' (TP) - the mesh design
 BASELINE.json's north star asks for.
 
-PP/EP/CP are not applicable to this workload (no MoE, tiny sequences; SURVEY.md
-§2.3) - the mesh plumbing is the extension point if a future model needs them.
+Round 3 extended this to all five axes: PP (parallel/pipeline.py), SP
+(parallel/sequence.py), EP for the Switch-MoE FFNs (parallel/expert.py), and
+ZeRO-1 optimizer-state sharding (zero1_opt_specs below) — design + evidence
+map in docs/SCALING.md.
 """
 
 from __future__ import annotations
@@ -118,6 +120,41 @@ def shard_batch(batch, mesh: Mesh):
     'data'.  Works for any pytree whose leaves lead with the batch axis."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def zero1_opt_specs(opt_state: Any, mesh: Mesh) -> Any:
+    """ZeRO-1: PartitionSpec pytree sharding the optimizer state (Adam m/v
+    mirrors of every param, 2/3 of training memory beyond params+grads) over
+    the DP 'data' axis instead of replicating it.
+
+    The XLA way: no hand-written reduce-scatter/all-gather — each leaf whose
+    leading axis divides by the data-axis size gets P('data', ...), and SPMD
+    derives ZeRO-1's communication from the sharding mismatch at the
+    optimizer update (gradients arrive replicated from the DP backward; the
+    elementwise Adam math runs 1/dp-sharded; the param update is
+    re-gathered).  Collective volume matches hand-rolled ZeRO-1 (a
+    reduce-scatter + all-gather moves the same bytes as DP's all-reduce —
+    scaling-book §5); per-device optimizer memory drops to 1/dp.
+
+    Leaves that don't divide (scalars like Adam's count, odd first dims)
+    stay replicated — correctness first, memory second."""
+    size = mesh.shape[DATA_AXIS]
+
+    def spec(x):
+        if (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] >= size
+                and x.shape[0] % size == 0):
+            return P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map(spec, opt_state)
+
+
+def shard_opt_state_zero1(opt_state: Any, mesh: Mesh) -> Any:
+    """Place an optimizer state on the mesh per `zero1_opt_specs`."""
+    specs = zero1_opt_specs(opt_state, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        opt_state, specs)
 
 
 # ---------------------------------------------------------------------------

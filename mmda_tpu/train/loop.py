@@ -230,13 +230,21 @@ class Trainer:
         self.state = create_train_state(cfg, params, k_state, frozen, tx=self.tx)
 
         if self.mesh is not None:
+            if cfg.zero1 and pmesh.DATA_AXIS in self.mesh.axis_names:
+                # ZeRO-1: Adam m/v sharded 1/dp over 'data'
+                # (parallel/mesh.py::zero1_opt_specs); XLA SPMD derives the
+                # reduce-scatter/all-gather pair around the update
+                opt_state = pmesh.shard_opt_state_zero1(
+                    self.state.opt_state, self.mesh)
+            else:
+                opt_state = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, pmesh.replicated(self.mesh)),
+                    self.state.opt_state,
+                )
             self.state = TrainState(
                 step=jax.device_put(self.state.step, pmesh.replicated(self.mesh)),
                 params=pmesh.shard_params(self.state.params, self.mesh),
-                opt_state=jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, pmesh.replicated(self.mesh)),
-                    self.state.opt_state,
-                ),
+                opt_state=opt_state,
                 rng=jax.device_put(self.state.rng, pmesh.replicated(self.mesh)),
             )
 

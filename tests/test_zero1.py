@@ -1,0 +1,102 @@
+"""ZeRO-1 optimizer-state sharding (parallel/mesh.py::zero1_opt_specs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmda_tpu.config import Config
+from mmda_tpu.data.synthetic import SyntheticSpec, make_split
+from mmda_tpu.models import Batch, get_model
+from mmda_tpu.models.bert import BertConfig
+from mmda_tpu.parallel import mesh as pmesh
+from mmda_tpu.train.state import TrainState, create_train_state, make_optimizer
+from mmda_tpu.train.step import make_train_step
+
+
+def _setup():
+    cfg = Config(use_bert=True, batch_size=16, compute_dtype="float32",
+                 hidden_size=16, visual_size=5, acoustic_size=6)
+    bert_cfg = BertConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                          num_heads=2, intermediate_size=64,
+                          max_position_embeddings=64)
+    init_fn, fwd_fn = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg, bert_cfg=bert_cfg)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, params, jax.random.PRNGKey(1))
+    split = make_split(SyntheticSpec(
+        num_examples=16, max_len=8, visual_size=5, acoustic_size=6,
+        vocab_size=64, bert_vocab_size=64))
+    step = make_train_step(cfg, tx, fwd_fn, bert_cfg, donate=False)
+    return state, split, step
+
+
+def _place(state, mesh, zero1):
+    if zero1:
+        opt = pmesh.shard_opt_state_zero1(state.opt_state, mesh)
+    else:
+        opt = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, pmesh.replicated(mesh)),
+            state.opt_state)
+    return TrainState(
+        step=jax.device_put(state.step, pmesh.replicated(mesh)),
+        params=pmesh.shard_params(state.params, mesh),
+        opt_state=opt,
+        rng=jax.device_put(state.rng, pmesh.replicated(mesh)),
+    )
+
+
+def test_zero1_step_matches_replicated():
+    """Two optimizer steps with ZeRO-1-sharded Adam state produce the same
+    params as with replicated state (the sharding is a layout choice, not a
+    numerics choice), and the big m/v leaves really are 'data'-sharded."""
+    state, split, step = _setup()
+    mesh = pmesh.make_mesh(dp=8, tp=1)
+    batch = pmesh.shard_batch(Batch(**split), mesh)
+
+    s_rep = _place(state, mesh, zero1=False)
+    s_z1 = _place(state, mesh, zero1=True)
+
+    # the word-embedding mirror (vocab 64 % 8 == 0) must be sharded
+    mu = s_z1.opt_state[0].mu if hasattr(s_z1.opt_state[0], "mu") else None
+    if mu is not None:
+        leaf = mu["bert"]["embeddings"]["word"]
+        assert "data" in str(leaf.sharding.spec), leaf.sharding
+
+    for _ in range(2):
+        s_rep, l_rep = step(s_rep, batch)
+        s_z1, l_z1 = step(s_z1, batch)
+    np.testing.assert_allclose(float(l_z1["total"]), float(l_rep["total"]),
+                               rtol=1e-6)
+    a = np.asarray(s_rep.params["bert"]["layers"][0]["q"]["kernel"])
+    b = np.asarray(s_z1.params["bert"]["layers"][0]["q"]["kernel"])
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+
+
+def test_zero1_specs_leave_indivisible_leaves_replicated():
+    mesh = pmesh.make_mesh(dp=8, tp=1)
+    tree = {"big": jnp.zeros((16, 4)), "odd": jnp.zeros((3, 4)),
+            "scalar": jnp.zeros(())}
+    specs = pmesh.zero1_opt_specs(tree, mesh)
+    assert specs["big"] == jax.sharding.PartitionSpec("data", None)
+    assert specs["odd"] == jax.sharding.PartitionSpec()
+    assert specs["scalar"] == jax.sharding.PartitionSpec()
+
+
+def test_trainer_zero1_trains(tmp_path):
+    from mmda_tpu.train.loop import Trainer
+
+    split = make_split(SyntheticSpec(
+        num_examples=16, max_len=8, visual_size=5, acoustic_size=6,
+        vocab_size=64, bert_vocab_size=64, seed=4))
+    data = {"train": split, "dev": split, "test": split}
+    cfg = Config(use_bert=True, batch_size=16, n_epoch=1,
+                 compute_dtype="float32", hidden_size=16, visual_size=5,
+                 acoustic_size=6, zero1=True, name="z1",
+                 ckpt_dir=str(tmp_path), bucket_sizes=(8,))
+    bert_cfg = BertConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                          num_heads=2, intermediate_size=64,
+                          max_position_embeddings=64)
+    tr = Trainer(cfg, data, bert_cfg=bert_cfg)
+    assert tr.mesh is not None
+    summary = tr.train()
+    assert np.isfinite(summary["best_valid_loss"])
