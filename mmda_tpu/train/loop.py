@@ -229,24 +229,7 @@ class Trainer:
         self.tx = make_optimizer(cfg, frozen, steps_per_epoch)
         self.state = create_train_state(cfg, params, k_state, frozen, tx=self.tx)
 
-        if self.mesh is not None:
-            if cfg.zero1 and pmesh.DATA_AXIS in self.mesh.axis_names:
-                # ZeRO-1: Adam m/v sharded 1/dp over 'data'
-                # (parallel/mesh.py::zero1_opt_specs); XLA SPMD derives the
-                # reduce-scatter/all-gather pair around the update
-                opt_state = pmesh.shard_opt_state_zero1(
-                    self.state.opt_state, self.mesh)
-            else:
-                opt_state = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, pmesh.replicated(self.mesh)),
-                    self.state.opt_state,
-                )
-            self.state = TrainState(
-                step=jax.device_put(self.state.step, pmesh.replicated(self.mesh)),
-                params=pmesh.shard_params(self.state.params, self.mesh),
-                opt_state=opt_state,
-                rng=jax.device_put(self.state.rng, pmesh.replicated(self.mesh)),
-            )
+        self.state = self._place_on_mesh(self.state)
 
         self.train_step = make_train_step(cfg, self.tx, self.forward_fn,
                                           self.bert_cfg, frozen=frozen)
@@ -277,8 +260,37 @@ class Trainer:
                     self.logger.log({"resume_rng_impl_mismatch": 1.0})
                     loaded = loaded._replace(rng=jax.random.fold_in(
                         jax.random.PRNGKey(cfg.seed), int(loaded.step)))
-                self.state = loaded
+                # re-place on the mesh: a loaded checkpoint holds host/
+                # uncommitted arrays, and assigning it directly would
+                # silently drop the TP/ZeRO-1 shardings the initial build
+                # chose (jit would then run params-replicated — correct but
+                # an OOM/memory regression at real scale)
+                self.state = self._place_on_mesh(loaded)
                 self.logger.log({"resumed_at_step": int(self.state.step)})
+
+    def _place_on_mesh(self, state: TrainState) -> TrainState:
+        """Place a (possibly host-side) TrainState onto the active mesh:
+        params per param_partition_specs (TP-aware), optimizer state ZeRO-1-
+        sharded when cfg.zero1, scalars/rng replicated.  Shared by the
+        initial build and the resume path so both get identical layouts."""
+        if self.mesh is None:
+            return state
+        if self.cfg.zero1 and pmesh.DATA_AXIS in self.mesh.axis_names:
+            # ZeRO-1: Adam m/v sharded 1/dp over 'data'
+            # (parallel/mesh.py::zero1_opt_specs); XLA SPMD derives the
+            # reduce-scatter/all-gather pair around the update
+            opt_state = pmesh.shard_opt_state_zero1(state.opt_state, self.mesh)
+        else:
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, pmesh.replicated(self.mesh)),
+                state.opt_state,
+            )
+        return TrainState(
+            step=jax.device_put(state.step, pmesh.replicated(self.mesh)),
+            params=pmesh.shard_params(state.params, self.mesh),
+            opt_state=opt_state,
+            rng=jax.device_put(state.rng, pmesh.replicated(self.mesh)),
+        )
 
     # ------------------------------------------------------------------
     def _save_resume_ckpt(self, epoch_idx: int, valid_loss: float):

@@ -100,3 +100,32 @@ def test_trainer_zero1_trains(tmp_path):
     assert tr.mesh is not None
     summary = tr.train()
     assert np.isfinite(summary["best_valid_loss"])
+
+
+def test_zero1_resume_replaces_on_mesh(tmp_path):
+    """Resume must re-place the loaded host state on the mesh: the ZeRO-1
+    opt-state sharding survives a save/restart cycle instead of silently
+    degrading to replicated."""
+    from mmda_tpu.train.loop import Trainer
+
+    split = make_split(SyntheticSpec(
+        num_examples=16, max_len=8, visual_size=5, acoustic_size=6,
+        vocab_size=64, bert_vocab_size=64, seed=5))
+    data = {"train": split, "dev": split, "test": split}
+    kw = dict(use_bert=True, batch_size=16, n_epoch=1, data="synthetic",
+              compute_dtype="float32", hidden_size=16, visual_size=5,
+              acoustic_size=6, zero1=True, name="z1r",
+              ckpt_dir=str(tmp_path), bucket_sizes=(8,))
+    bert_cfg = BertConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                          num_heads=2, intermediate_size=64,
+                          max_position_embeddings=64)
+    Trainer(Config(**kw), data, bert_cfg=bert_cfg).train()
+
+    tr2 = Trainer(Config(**kw, resume=True), data, bert_cfg=bert_cfg)
+    assert int(tr2.state.step) > 0          # actually resumed
+    adams = jax.tree_util.tree_leaves(
+        tr2.state.opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+    adams = [a for a in adams if hasattr(a, "mu")]
+    assert adams, "no ScaleByAdamState found in the optimizer chain"
+    leaf = adams[0].mu["bert"]["embeddings"]["word"]
+    assert "data" in str(leaf.sharding.spec), leaf.sharding
