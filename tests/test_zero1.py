@@ -129,3 +129,24 @@ def test_zero1_resume_replaces_on_mesh(tmp_path):
     assert adams, "no ScaleByAdamState found in the optimizer chain"
     leaf = adams[0].mu["bert"]["embeddings"]["word"]
     assert "data" in str(leaf.sharding.spec), leaf.sharding
+
+
+def test_zero1_cuts_per_device_opt_bytes():
+    """The point of ZeRO-1: per-device optimizer bytes drop to ~1/dp.
+    Measured from the actual addressable shards on the faked 8-device mesh."""
+    state, _, _ = _setup()
+    mesh = pmesh.make_mesh(dp=8, tp=1)
+
+    def device0_bytes(opt):
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(opt):
+            if hasattr(leaf, "addressable_shards"):
+                shard = leaf.addressable_shards[0]
+                total += int(np.prod(shard.data.shape)) * leaf.dtype.itemsize
+        return total
+
+    rep = device0_bytes(_place(state, mesh, zero1=False).opt_state)
+    z1 = device0_bytes(_place(state, mesh, zero1=True).opt_state)
+    # bert-tiny + MISA heads: most leaves divide by 8; a few odd first dims
+    # stay replicated, so the ratio lands between 1/8 and ~1/3
+    assert z1 < rep * 0.35, (z1, rep)
