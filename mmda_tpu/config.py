@@ -276,6 +276,8 @@ class Config:
     mmim_beta: float = 0.1        # CPC/InfoNCE (high-level MI) weight
 
     # Engine
+    export_dir: str = ""          # cli/export.py: write StableHLO serving
+                                  # artifacts here (mmda_tpu/serving_export.py)
     ckpt_dir: str = "checkpoints"
     resume: bool = False
     enable_early_stop: bool = False   # the reference's patience logic is

@@ -1,0 +1,170 @@
+"""AOT model export: serialized StableHLO serving artifacts (jax.export).
+
+Production deployment surface with no reference counterpart (its
+inference.py is a TODO stub): `export_model` compiles the Predictor's
+deterministic forward once per serving bucket, bakes the checkpoint weights
+in as constants, and serializes each program with `jax.export` — a
+self-contained artifact a serving host can load and run WITHOUT the model
+zoo, config system, or initializers on its import path (only jax + this
+loader).  StableHLO serialization carries jax.export's compatibility
+guarantees across jax releases, and the artifact is backend-portable
+(export on CPU, run on TPU) because lowering is platform-generic by
+default for this program class.
+
+Layout of an export directory:
+  manifest.json              model/ckpt metadata, bucket sizes, dims
+  bucket_<t>.stablehlo       serialized Exported for the (max_batch, t) shape
+
+`ExportedPredictor` mirrors the live Predictor's request->scores contract
+(same bucketing/padding via the same helpers) so the round-trip equivalence
+test can compare them output-for-output (tests/test_export.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax import export as jexport
+
+from mmda_tpu.config import Config
+
+_FIELDS = ("text", "visual", "acoustic", "lengths",
+           "bert_ids", "bert_type", "bert_mask")
+
+
+def export_model(
+    cfg: Config,
+    params,
+    out_dir: str,
+    bert_cfg=None,
+    visual_size: Optional[int] = None,
+    acoustic_size: Optional[int] = None,
+    max_batch: int = 64,
+    bucket_sizes: Optional[Sequence[int]] = None,
+) -> Dict:
+    """Serialize the deterministic forward for every serving bucket.
+    Returns the manifest dict (also written to out_dir/manifest.json)."""
+    import jax.numpy as jnp
+
+    from mmda_tpu.models import Batch, get_model
+    from mmda_tpu.models.bert import bert_config_for
+
+    bert_cfg = bert_cfg or bert_config_for(cfg)
+    # checkpoints load as host numpy; the closure needs jax arrays (numpy
+    # can't be indexed by tracers, e.g. the GloVe embed lookup)
+    params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+    _, forward_fn = get_model(cfg.model)
+    dv = visual_size or cfg.visual_size
+    da = acoustic_size or cfg.acoustic_size
+    buckets = sorted(bucket_sizes or cfg.bucket_sizes)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def make_fn():
+        def fn(text, visual, acoustic, lengths, bert_ids, bert_type,
+               bert_mask):
+            B = text.shape[0]
+            batch = Batch(
+                text=text, visual=visual, acoustic=acoustic, lengths=lengths,
+                bert_ids=bert_ids, bert_type=bert_type, bert_mask=bert_mask,
+                sentiment=jnp.zeros((B,), jnp.float32),
+                emo_label=jnp.zeros((B, cfg.num_classes), jnp.float32),
+                sample_weight=jnp.ones((B,), jnp.float32),
+            )
+            # params close over fn -> serialized as constants (self-contained)
+            out = forward_fn(params, cfg, batch, bert_cfg=bert_cfg,
+                             deterministic=True)
+            return {"scores": out.scores, "labels": out.labels,
+                    "tcp": out.tcp}
+        return fn
+
+    for t in buckets:
+        shapes = {
+            "text": ((max_batch, t), np.int32),
+            "visual": ((max_batch, t, dv), np.float32),
+            "acoustic": ((max_batch, t, da), np.float32),
+            "lengths": ((max_batch,), np.int32),
+            "bert_ids": ((max_batch, t + 2), np.int32),
+            "bert_type": ((max_batch, t + 2), np.int32),
+            "bert_mask": ((max_batch, t + 2), np.int32),
+        }
+        args = [jax.ShapeDtypeStruct(*shapes[k]) for k in _FIELDS]
+        exp = jexport.export(jax.jit(make_fn()))(*args)
+        with open(os.path.join(out_dir, f"bucket_{t}.stablehlo"), "wb") as f:
+            f.write(exp.serialize())
+
+    manifest = {
+        "model": cfg.model, "num_classes": cfg.num_classes,
+        "task": cfg.resolved_task(), "max_batch": max_batch,
+        "bucket_sizes": list(buckets), "visual_size": dv,
+        "acoustic_size": da, "use_bert": cfg.use_bert,
+        "format": "jax.export/stablehlo",
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ExportedPredictor:
+    """Serve from an export directory — no model code needed, only jax.
+    Mirrors Predictor's request contract (pre-tokenized array requests)."""
+
+    def __init__(self, export_dir: str):
+        with open(os.path.join(export_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self._programs = {}
+        for t in self.manifest["bucket_sizes"]:
+            path = os.path.join(export_dir, f"bucket_{t}.stablehlo")
+            with open(path, "rb") as f:
+                self._programs[t] = jexport.deserialize(f.read())
+
+    def _bucket(self, n: int) -> int:
+        for b in sorted(self.manifest["bucket_sizes"]):
+            if n <= b:
+                return b
+        return max(self.manifest["bucket_sizes"])
+
+    def __call__(self, requests) -> Dict[str, np.ndarray]:
+        B = self.manifest["max_batch"]
+        n = len(requests)
+        if n > B:
+            raise ValueError(f"{n} requests > exported max_batch {B}")
+        t = self._bucket(max(len(r["text"]) for r in requests))
+
+        def pad_to(x, shape):
+            out = np.zeros(shape, x.dtype)
+            sl = tuple(slice(0, min(a, b)) for a, b in zip(x.shape, shape))
+            out[sl] = x[sl]
+            return out
+
+        dv, da = self.manifest["visual_size"], self.manifest["acoustic_size"]
+        arrays = {
+            "text": np.stack([pad_to(np.asarray(r["text"], np.int32), (t,))
+                              for r in requests]),
+            "visual": np.stack([pad_to(np.asarray(r["visual"], np.float32),
+                                       (t, dv)) for r in requests]),
+            "acoustic": np.stack([pad_to(np.asarray(r["acoustic"], np.float32),
+                                         (t, da)) for r in requests]),
+            "lengths": np.asarray([min(len(r["text"]), t) for r in requests],
+                                  np.int32),
+            "bert_ids": np.stack([pad_to(np.asarray(r["bert_ids"], np.int32),
+                                         (t + 2,)) for r in requests]),
+            "bert_type": np.stack([pad_to(np.asarray(r["bert_type"], np.int32),
+                                          (t + 2,)) for r in requests]),
+            "bert_mask": np.stack([pad_to(np.asarray(r["bert_mask"], np.int32),
+                                          (t + 2,)) for r in requests]),
+        }
+        if n < B:
+            for k, v in arrays.items():
+                pad = np.zeros((B - n,) + v.shape[1:], v.dtype)
+                if k == "lengths":
+                    pad[:] = 1
+                if k == "bert_mask":
+                    pad[:, :1] = 1
+                arrays[k] = np.concatenate([v, pad])
+        out = self._programs[t].call(*[arrays[k] for k in _FIELDS])
+        return {k: np.asarray(v)[:n] for k, v in out.items()}

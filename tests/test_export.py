@@ -1,0 +1,93 @@
+"""AOT export (mmda_tpu/serving_export.py): serialize -> reload -> scores
+match the live Predictor; CLI drives the on-disk contract end to end."""
+
+import json
+import os
+
+import numpy as np
+import jax
+
+from mmda_tpu.config import Config
+from mmda_tpu.models import get_model
+from mmda_tpu.serving import Predictor
+from mmda_tpu.serving_export import ExportedPredictor, export_model
+
+RNG = np.random.default_rng(9)
+
+
+def _cfg(**kw):
+    base = dict(
+        hidden_size=16, num_classes=6, visual_size=5, acoustic_size=6,
+        vocab_size=64, embedding_size=8, compute_dtype="float32",
+        use_bert=False, batch_size=8, bucket_sizes=(4, 8), max_seq_len=8,
+        log_sinks=(), data="synthetic",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _req(L):
+    return {
+        "text": RNG.integers(2, 64, size=L).astype(np.int32),
+        "visual": RNG.normal(size=(L, 5)).astype(np.float32),
+        "acoustic": RNG.normal(size=(L, 6)).astype(np.float32),
+        "bert_ids": RNG.integers(3, 64, size=L + 2).astype(np.int32),
+        "bert_type": np.zeros(L + 2, np.int32),
+        "bert_mask": np.ones(L + 2, np.int32),
+    }
+
+
+def test_export_roundtrip_matches_live_predictor(tmp_path):
+    cfg = _cfg()
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(0), cfg)
+    manifest = export_model(cfg, params, str(tmp_path), max_batch=8)
+    assert set(manifest["bucket_sizes"]) == {4, 8}
+    assert os.path.exists(tmp_path / "bucket_4.stablehlo")
+
+    live = Predictor(cfg, params=params, max_batch=8)
+    exported = ExportedPredictor(str(tmp_path))
+
+    for reqs in ([_req(3)], [_req(2), _req(7), _req(4)]):
+        want = live(reqs)
+        got = exported(reqs)
+        n = len(reqs)
+        np.testing.assert_allclose(got["scores"], np.asarray(want["scores"][:n]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got["tcp"], np.asarray(want["tcp"][:n]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_export_artifact_is_loadable_standalone(tmp_path):
+    """The artifact must not need the model zoo: a fresh ExportedPredictor
+    built only from the directory serves finite scores."""
+    cfg = _cfg()
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(1), cfg)
+    export_model(cfg, params, str(tmp_path), max_batch=8)
+
+    with open(tmp_path / "manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["format"] == "jax.export/stablehlo"
+    pred = ExportedPredictor(str(tmp_path))
+    out = pred([_req(5)])
+    assert out["scores"].shape == (1, 6)
+    assert np.isfinite(out["scores"]).all()
+
+
+def test_export_cli_end_to_end(tmp_path):
+    """cli/train -> cli/export -> ExportedPredictor through the on-disk
+    contract."""
+    from mmda_tpu.cli import export as export_cli
+    from mmda_tpu.cli import train as train_cli
+
+    common = ["--device", "cpu", "--data", "synthetic", "--use_bert", "False",
+              "--batch_size", "8", "--hidden_size", "16", "--max_seq_len", "8",
+              "--name", "exp_e2e", "--ckpt_dir", str(tmp_path / "ckpt")]
+    train_cli.main(common + ["--n_epoch", "1"])
+    export_cli.main(common + ["--export_dir", str(tmp_path / "artifact")])
+
+    pred = ExportedPredictor(str(tmp_path / "artifact"))
+    out = pred([_req(3), _req(6)])
+    assert out["scores"].shape == (2, 6)
+    assert np.isfinite(out["scores"]).all()
