@@ -168,4 +168,8 @@ def switch_ffn(
     mean_prob = jnp.mean(probs, axis=(0, 1))                        # (E,)
     balance = E * jnp.sum(frac_tokens * mean_prob)
     router_z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
-    return y.reshape(N, H), {"balance": balance, "router_z": router_z}
+    # fraction of (token, choice) routes that overflowed capacity and fell
+    # back to the residual path — the standard Switch/GShard health metric
+    drop_frac = 1.0 - jnp.sum(dispatch) / (N * top_k)
+    return y.reshape(N, H), {"balance": balance, "router_z": router_z,
+                             "drop_frac": drop_frac}

@@ -74,8 +74,10 @@ def compute_losses(cfg: Config, out: MISAOutput, batch: Batch) -> Dict[str, jnp.
         moe = (cfg.moe_aux_weight * moe_aux["balance"]
                + cfg.moe_z_weight * moe_aux["router_z"])
         total = total + moe
+        moe_drop = moe_aux.get("drop_frac", jnp.zeros(()))
     else:
         moe = jnp.zeros(())
+        moe_drop = jnp.zeros(())
 
     # model-family-specific auxiliary objective (MISAOutput.model_aux),
     # pre-weighted by the model under 'total' — e.g. MMIM's MI terms
@@ -95,5 +97,6 @@ def compute_losses(cfg: Config, out: MISAOutput, batch: Batch) -> Dict[str, jnp.
         "recon": recon,
         "conf": conf,
         "moe": moe,
+        "moe_drop": moe_drop,   # overflow fraction (observability, no grad)
         "model_aux": aux,
     }

@@ -182,7 +182,7 @@ def test_bert_encode_returns_hidden_and_aux():
         lambda p: jbert.bert_encode(p, cfg, ids, mask,
                                     compute_dtype=jnp.float32))(params)
     assert hidden.shape == (4, 10, 16)
-    assert set(aux) == {"balance", "router_z"}
+    assert set(aux) == {"balance", "router_z", "drop_frac"}
     assert np.isfinite(float(aux["balance"]))
     assert float(aux["balance"]) >= 1.0 - 1e-5  # 1.0 is the uniform minimum
 
