@@ -265,6 +265,10 @@ class Config:
     moe_aux_weight: float = 0.01  # Switch load-balance loss weight
     moe_z_weight: float = 0.001   # router z-loss weight
 
+    ema_decay: float = 0.0        # > 0: keep an EMA shadow of the params
+                                  # (ema <- d*ema + (1-d)*params per step);
+                                  # eval + the best-on-dev artifact use the
+                                  # shadow (polyak-averaged weights)
     zero1: bool = False           # ZeRO-1: shard optimizer state (Adam m/v)
                                   # over the DP 'data' axis instead of
                                   # replicating (parallel/mesh.py::

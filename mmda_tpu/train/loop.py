@@ -268,6 +268,15 @@ class Trainer:
                 self.state = self._place_on_mesh(loaded)
                 self.logger.log({"resumed_at_step": int(self.state.step)})
 
+    @property
+    def eval_params(self):
+        """Parameters eval/serving should read: the EMA shadow when
+        cfg.ema_decay > 0 (standard polyak-averaged eval), else the live
+        params."""
+        if self.cfg.ema_decay > 0 and self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
     def _place_on_mesh(self, state: TrainState) -> TrainState:
         """Place a (possibly host-side) TrainState onto the active mesh:
         params per param_partition_specs (TP-aware), optimizer state ZeRO-1-
@@ -290,6 +299,8 @@ class Trainer:
             params=pmesh.shard_params(state.params, self.mesh),
             opt_state=opt_state,
             rng=jax.device_put(state.rng, pmesh.replicated(self.mesh)),
+            ema_params=(pmesh.shard_params(state.ema_params, self.mesh)
+                        if state.ema_params is not None else None),
         )
 
     # ------------------------------------------------------------------
@@ -440,8 +451,10 @@ class Trainer:
             if improved:
                 best_valid_loss = valid_loss
                 best_results, best_truths, best_epoch = preds, truths, e
+                # with EMA on, the weights that were just evaluated (and won)
+                # are the EMA shadow - save THOSE as the serving artifact
                 pending.append(ckpt.save_checkpoint(
-                    cfg.ckpt_dir, ckpt.best_model_name(cfg), self.state.params,
+                    cfg.ckpt_dir, ckpt.best_model_name(cfg), self.eval_params,
                     {"epoch": e, "valid_loss": valid_loss}, async_write=True))
                 eval_values = task_metrics(self.task, best_truths, best_results)
                 curr_patience = cfg.patience
@@ -639,7 +652,7 @@ class Trainer:
         eval_loss = mean over batches of (sum over classes of batch-mean BCE),
         accuracy = multilabel Jaccard over all rows.  For regression the loss
         is L1 and preds/truths are (sentiment_pred, sentiment_true)."""
-        params = params if params is not None else self.state.params
+        params = params if params is not None else self.eval_params
         loader = self._loader(mode, shuffle=False)
         losses, preds, truths = [], [], []
         tcps, raw_scores = [], []   # ConfidNet confidence evaluation inputs

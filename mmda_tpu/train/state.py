@@ -28,6 +28,12 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     rng: jax.Array
+    ema_params: Any = None   # EMA shadow of params when cfg.ema_decay > 0
+                             # (updated in the train step; eval/serving read
+                             # it via Trainer.eval_params) — None when off,
+                             # which jax treats as an empty subtree so every
+                             # existing construction/donation site is
+                             # unaffected
 
 
 def _base_optimizer(cfg: Config, steps_per_epoch: Optional[int] = None
@@ -154,6 +160,12 @@ def create_train_state(
         params=params,
         opt_state=tx.init(params),
         rng=rng,
+        # REAL copies, not aliases: the donated train step would otherwise
+        # see every param buffer twice ("attempt to donate the same buffer
+        # twice") because params and the shadow share leaves
+        ema_params=(jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                           params)
+                    if cfg.ema_decay > 0 else None),
     )
 
 

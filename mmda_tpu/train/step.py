@@ -55,6 +55,16 @@ def _sample_modality_keep(cfg: Config, rng, batch_size: int) -> Optional[jnp.nda
     return keep
 
 
+def _ema_update(cfg: Config, ema, params):
+    """EMA shadow params: ema <- d*ema + (1-d)*params (cfg.ema_decay = d).
+    Identity on None (EMA off) so the step's HLO is unchanged."""
+    if ema is None or cfg.ema_decay <= 0.0:
+        return ema
+    d = cfg.ema_decay
+    return jax.tree_util.tree_map(lambda e, p: e * d + p * (1.0 - d),
+                                  ema, params)
+
+
 def _stop_frozen(params, frozen):
     """stop_gradient on FROZEN leaves before the forward.  The optimizer mask
     (optax set_to_zero) already discards their updates, but jax.grad would
@@ -103,7 +113,8 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng,
+            ema_params=_ema_update(cfg, state.ema_params, params),
         )
         return new_state, losses
 
@@ -146,7 +157,9 @@ def make_train_epoch(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state, rng=rng), losses
+                          opt_state=opt_state, rng=rng,
+                          ema_params=_ema_update(cfg, state.ema_params,
+                                                 params)), losses
 
     def epoch(state: TrainState, batches: Batch):
         return jax.lax.scan(body, state, batches)
