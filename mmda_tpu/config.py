@@ -439,10 +439,28 @@ def build_parser() -> argparse.ArgumentParser:
 
 def get_config(parse: bool = True, argv=None, **optional_kwargs) -> Config:
     """Build a Config, mirroring the reference entry (src/config.py:99-170):
-    parse argv, then override with explicit kwargs."""
+    parse argv, then override with explicit kwargs.
+
+    --config_json FILE loads a saved run config (Trainer writes one per run
+    to <ckpt_dir>/<name>_config.json) as the BASE values; flags the user
+    explicitly passed on the command line still win (detected as values that
+    differ from the parser defaults)."""
     if parse:
-        ns = build_parser().parse_args(argv)
+        parser = build_parser()
+        parser.add_argument("--config_json", type=str, default="")
+        ns = parser.parse_args(argv)
         kw = vars(ns)
+        cfg_path = kw.pop("config_json", "")
+        if cfg_path:
+            with open(cfg_path) as f:
+                saved = json.load(f)
+            defaults = {f.name: f.default for f in dataclasses.fields(Config)}
+            for k, v in saved.items():
+                if k in defaults and kw.get(k) == defaults[k]:
+                    # tuples serialize as lists; restore the field type
+                    if isinstance(defaults[k], tuple) and isinstance(v, list):
+                        v = tuple(v)
+                    kw[k] = v
     else:
         kw = {}
     kw.update(optional_kwargs)

@@ -248,6 +248,19 @@ class Trainer:
         self.logger.log({"params_total": counts["total"],
                          "params_trainable": counts["trainable"]})
 
+        # reproducibility artifact: the exact resolved config of this run;
+        # reload with --config_json (explicit CLI flags still override)
+        try:
+            import dataclasses as _dc
+            import json as _json
+
+            os.makedirs(cfg.ckpt_dir, exist_ok=True)
+            with open(os.path.join(cfg.ckpt_dir,
+                                   f"{cfg.name}_config.json"), "w") as f:
+                _json.dump(_dc.asdict(cfg), f, indent=2, default=str)
+        except OSError:
+            pass  # read-only ckpt_dir: config dump is best-effort
+
         if cfg.resume:
             loaded = self._load_resume_ckpt()
             if loaded is not None:

@@ -97,3 +97,39 @@ def test_save_load_hidden(tmp_path, monkeypatch):
     assert "MISA_C_mosei" in path
     got = load_hidden(cfg)
     np.testing.assert_array_equal(got, h)
+
+
+def test_config_json_roundtrip(tmp_path):
+    """Trainer writes <name>_config.json; --config_json reloads it as base
+    values with explicit CLI flags still winning."""
+    import json
+
+    from mmda_tpu.config import get_config
+    from mmda_tpu.data.synthetic import SyntheticSpec, make_split
+    from mmda_tpu.train.loop import Trainer
+
+    split = make_split(SyntheticSpec(
+        num_examples=8, max_len=8, visual_size=5, acoustic_size=6,
+        vocab_size=64, bert_vocab_size=64))
+    data = {"train": split, "dev": split, "test": split}
+    cfg = get_config(argv=[
+        "--data", "synthetic", "--use_bert", "False", "--hidden_size", "16",
+        "--batch_size", "8", "--n_epoch", "1", "--dropout", "0.37",
+        "--name", "cfgdump", "--ckpt_dir", str(tmp_path), "--device", "cpu"])
+    Trainer(cfg, data, use_mesh=False)   # build writes the artifact
+
+    path = tmp_path / "cfgdump_config.json"
+    assert path.exists()
+    saved = json.loads(path.read_text())
+    assert saved["dropout"] == 0.37 and saved["hidden_size"] == 16
+
+    # reload: file provides base values...
+    cfg2 = get_config(argv=["--config_json", str(path)])
+    assert cfg2.dropout == 0.37
+    assert cfg2.hidden_size == 16
+    assert cfg2.use_bert is False
+    # ...but an explicit flag wins over the file
+    cfg3 = get_config(argv=["--config_json", str(path),
+                            "--dropout", "0.5"])
+    assert cfg3.dropout == 0.5
+    assert cfg3.hidden_size == 16
