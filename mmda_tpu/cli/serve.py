@@ -93,22 +93,30 @@ def make_handler(server, default_timeout_s: float):
 
 def serve(cfg, params=None, port: int = 8321, host: str = "127.0.0.1",
           tokenizer=None, word2id=None, timeout_s: float = 30.0,
-          warmup: bool = True, ready_event: Optional[threading.Event] = None):
+          warmup: bool = True, ready_event: Optional[threading.Event] = None,
+          predictor=None):
     """Build Predictor + PredictionServer + HTTP front end and serve forever.
     Returns (httpd, prediction_server) when run in a thread via
-    `threading.Thread(target=httpd.serve_forever)` — see tests."""
+    `threading.Thread(target=httpd.serve_forever)` — see tests.
+
+    predictor: pre-built predictor to front instead of constructing one —
+    e.g. an ExportedPredictor serving a StableHLO artifact
+    (`--export_dir`, pre-tokenized requests only)."""
     import jax
 
     from mmda_tpu.serving import Predictor
     from mmda_tpu.serving_server import PredictionServer
 
-    mesh = None
-    if len(jax.devices()) > 1 or cfg.tp_size > 1:
-        from mmda_tpu.parallel import mesh as pmesh
+    if predictor is not None:
+        pred = predictor
+    else:
+        mesh = None
+        if len(jax.devices()) > 1 or cfg.tp_size > 1:
+            from mmda_tpu.parallel import mesh as pmesh
 
-        mesh = pmesh.make_mesh(dp=-1, tp=cfg.tp_size)
-    pred = Predictor(cfg, params=params, tokenizer=tokenizer, word2id=word2id,
-                     mesh=mesh)
+            mesh = pmesh.make_mesh(dp=-1, tp=cfg.tp_size)
+        pred = Predictor(cfg, params=params, tokenizer=tokenizer,
+                         word2id=word2id, mesh=mesh)
     psrv = PredictionServer(pred, default_timeout_s=timeout_s)
     if warmup:
         psrv.warmup()
@@ -130,7 +138,14 @@ def main(argv=None):
     tokenizer = None
     if cfg.vocab_file:
         tokenizer = WordPieceTokenizer.from_vocab_file(cfg.vocab_file)
-    httpd, psrv = serve(cfg, port=cfg.port, tokenizer=tokenizer)
+    predictor = None
+    if cfg.export_dir:
+        # serve a StableHLO artifact (cli/export.py) - no model code runs
+        from mmda_tpu.serving_export import ExportedPredictor
+
+        predictor = ExportedPredictor(cfg.export_dir)
+    httpd, psrv = serve(cfg, port=cfg.port, tokenizer=tokenizer,
+                        predictor=predictor)
     print(f"serving {cfg.model} ({cfg.data}) on http://{httpd.server_address[0]}:"
           f"{httpd.server_address[1]}  [POST /predict, GET /healthz]")
     try:

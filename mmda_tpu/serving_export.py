@@ -111,9 +111,15 @@ def export_model(
 
 class ExportedPredictor:
     """Serve from an export directory — no model code needed, only jax.
-    Mirrors Predictor's request contract (pre-tokenized array requests)."""
+    Mirrors Predictor's request contract (pre-tokenized array requests) AND
+    its server-facing surface (max_batch, _bucket, stats, cfg shim) so
+    PredictionServer / cli.serve can front it directly
+    (`python -m mmda_tpu.cli.serve --export_dir ...`)."""
 
     def __init__(self, export_dir: str):
+        import time
+        import types
+
         with open(os.path.join(export_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self._programs = {}
@@ -121,6 +127,22 @@ class ExportedPredictor:
             path = os.path.join(export_dir, f"bucket_{t}.stablehlo")
             with open(path, "rb") as f:
                 self._programs[t] = jexport.deserialize(f.read())
+        self.max_batch = int(self.manifest["max_batch"])
+        self.visual_size = int(self.manifest["visual_size"])
+        self.acoustic_size = int(self.manifest["acoustic_size"])
+        # minimal cfg shim for PredictionServer.warmup / bucket grouping
+        self.cfg = types.SimpleNamespace(
+            bucket_sizes=tuple(self.manifest["bucket_sizes"]),
+            visual_size=self.visual_size, acoustic_size=self.acoustic_size)
+        self._time = time
+        self._stats = {"requests": 0, "utterances": 0, "seconds": 0.0}
+
+    @property
+    def stats(self) -> Dict[str, float]:
+        s = dict(self._stats)
+        if s["seconds"] > 0:
+            s["utterances_per_sec"] = s["utterances"] / s["seconds"]
+        return s
 
     def _bucket(self, n: int) -> int:
         for b in sorted(self.manifest["bucket_sizes"]):
@@ -129,6 +151,7 @@ class ExportedPredictor:
         return max(self.manifest["bucket_sizes"])
 
     def __call__(self, requests) -> Dict[str, np.ndarray]:
+        t0 = self._time.perf_counter()
         B = self.manifest["max_batch"]
         n = len(requests)
         if n > B:
@@ -167,4 +190,8 @@ class ExportedPredictor:
                     pad[:, :1] = 1
                 arrays[k] = np.concatenate([v, pad])
         out = self._programs[t].call(*[arrays[k] for k in _FIELDS])
-        return {k: np.asarray(v)[:n] for k, v in out.items()}
+        result = {k: np.asarray(v)[:n] for k, v in out.items()}
+        self._stats["requests"] += 1
+        self._stats["utterances"] += n
+        self._stats["seconds"] += self._time.perf_counter() - t0
+        return result

@@ -91,3 +91,44 @@ def test_export_cli_end_to_end(tmp_path):
     out = pred([_req(3), _req(6)])
     assert out["scores"].shape == (2, 6)
     assert np.isfinite(out["scores"]).all()
+
+
+def test_http_serving_from_export_artifact(tmp_path):
+    """The full artifact path: export -> HTTP server fronting the
+    ExportedPredictor -> pre-tokenized POST /predict -> finite scores."""
+    import threading
+    import urllib.request
+
+    from mmda_tpu.cli.serve import serve
+    from mmda_tpu.serving_export import ExportedPredictor
+
+    cfg = _cfg()
+    init_fn, _ = get_model("MISA")
+    params = init_fn(jax.random.PRNGKey(3), cfg)
+    export_model(cfg, params, str(tmp_path), max_batch=8)
+
+    pred = ExportedPredictor(str(tmp_path))
+    ready = threading.Event()
+    httpd, psrv = serve(cfg, port=0, predictor=pred, ready_event=ready,
+                        warmup=True)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    ready.wait(30)
+    try:
+        url = f"http://{httpd.server_address[0]}:{httpd.server_address[1]}"
+        r = _req(4)
+        payload = json.dumps({k: np.asarray(v).tolist()
+                              for k, v in r.items()}).encode()
+        req = urllib.request.Request(url + "/predict", data=payload,
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        scores = np.asarray(out["scores"])
+        assert scores.shape[-1] == 6 and np.isfinite(scores).all()
+        with urllib.request.urlopen(url + "/healthz", timeout=60) as resp:
+            health = json.loads(resp.read())
+        assert health["ok"] and health["stats"]["requests"] >= 1
+    finally:
+        httpd.shutdown()
+        psrv.close()
