@@ -134,6 +134,22 @@ def run_mixed(cfg, params, bert_cfg, tok, rng):
     server_mb.close()
 
 
+def run_wdtype(cfg, params, bert_cfg, tok, rng):
+    """bf16 vs f32 BERT weight STORAGE for serving (round 3): the forward
+    casts kernels to bf16 per call either way; bf16 storage halves the
+    weight HBM reads.  Auto-on for TPU serving — this section measures it."""
+    from mmda_tpu.serving import Predictor
+
+    B = cfg.batch_size
+    reqs = [_make_req(rng, cfg) for _ in range(B)]
+    for dt in (None, "bfloat16"):
+        pred = Predictor(cfg, params=params, bert_cfg=bert_cfg, max_batch=B,
+                         tokenizer=tok, word2id={}, bert_weights_dtype=dt)
+        tag = f"w{dt or 'f32'}"
+        _timed(f"batch64_{tag}", B, lambda p=pred: p(reqs))
+        _timed(f"batch8_{tag}", 8, lambda p=pred: p(reqs[:8]))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sections", default="base,mixed")
@@ -168,6 +184,8 @@ def main():
         run_base(cfg, params, bert_cfg, tok, rng)
     if "mixed" in sections:
         run_mixed(cfg, params, bert_cfg, tok, rng)
+    if "wdtype" in sections:
+        run_wdtype(cfg, params, bert_cfg, tok, rng)
 
 
 if __name__ == "__main__":
