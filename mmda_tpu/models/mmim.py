@@ -19,10 +19,13 @@ Total objective (train/objective.py): task loss + model_aux, where
 model_aux = mmim_alpha * (NLL_ta + NLL_tv) + mmim_beta * (NCE_t+NCE_v+NCE_a)
 is computed here (the model owns its weighting; the objective adds and logs
 it).  Documented divergences from the paper's released recipe: one optimizer
-for everything (the paper trains the MI estimators with a separate lr), and
-the framework's standard towers (bi-directional, 4x-width features) instead
-of the paper's single-layer rnn final states — same role, measured parity
-machinery (tests/test_mmim.py checks the MI bounds against naive formulas).
+for everything (the paper trains the MI estimators with a separate lr); the
+framework's standard towers (bi-directional, 4x-width features) instead of
+the paper's single-layer rnn final states — same role; and the BA predictors
+see stop-gradient TARGETS (estimator-style: h_t still receives gradient
+through mu/logvar, but h_v/h_a cannot collapse toward predictability — a
+deliberate anti-collapse choice, BYOL-style).  tests/test_mmim.py checks the
+MI bounds against naive formulas.
 
 TPU notes: every term is batched matmuls + elementwise (MXU/VPU shaped);
 InfoNCE's (B, B) score matrices are tiny; everything jits into the one
