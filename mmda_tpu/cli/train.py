@@ -67,8 +67,11 @@ def main(argv=None):
         logger = MetricLogger(run_cfg.log_sinks, run_name=run_cfg.name)
         trainer = Trainer(run_cfg, data, pretrained_emb=pretrained_emb,
                           logger=logger)
-        with profile(run_cfg.profile_dir):
-            summaries.append(trainer.train())
+        try:
+            with profile(run_cfg.profile_dir):
+                summaries.append(trainer.train())
+        finally:
+            trainer.close()   # drop process-global encoder hooks (pp/sp/ep)
     summary = summaries[-1]
     if n_runs > 1:
         import numpy as _np

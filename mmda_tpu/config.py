@@ -443,8 +443,9 @@ def get_config(parse: bool = True, argv=None, **optional_kwargs) -> Config:
 
     --config_json FILE loads a saved run config (Trainer writes one per run
     to <ckpt_dir>/<name>_config.json) as the BASE values; flags the user
-    explicitly passed on the command line still win (detected as values that
-    differ from the parser defaults)."""
+    explicitly passed on the command line still win — including a flag
+    explicitly set to its default value (ADVICE r3 low: detected via a
+    SUPPRESS-defaults re-parse, not by comparing to parser defaults)."""
     if parse:
         parser = build_parser()
         parser.add_argument("--config_json", type=str, default="")
@@ -454,9 +455,18 @@ def get_config(parse: bool = True, argv=None, **optional_kwargs) -> Config:
         if cfg_path:
             with open(cfg_path) as f:
                 saved = json.load(f)
+            # Which flags did the user ACTUALLY type?  A parse where every
+            # action defaults to SUPPRESS yields a namespace containing only
+            # explicitly-passed flags, so `--dropout 0.5` survives a saved
+            # config even when 0.5 happens to be the parser default.
+            probe = build_parser()
+            probe.add_argument("--config_json", type=str)
+            for action in probe._actions:
+                action.default = argparse.SUPPRESS
+            explicit = set(vars(probe.parse_args(argv)))
             defaults = {f.name: f.default for f in dataclasses.fields(Config)}
             for k, v in saved.items():
-                if k in defaults and kw.get(k) == defaults[k]:
+                if k in defaults and k not in explicit:
                     # tuples serialize as lists; restore the field type
                     if isinstance(defaults[k], tuple) and isinstance(v, list):
                         v = tuple(v)

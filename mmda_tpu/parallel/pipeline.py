@@ -135,14 +135,20 @@ def pipeline_bert_encode(
     bias_mb = bias.reshape(M, mb, 1, 1, S)
 
     if deterministic:
-        # dummy scalar so the shard_map signature is static
-        rngs_mb = jnp.zeros((M, pp, per, 3, 2), jnp.uint32)
+        # dummy (never read) so the shard_map signature is static; sized to
+        # the ACTIVE PRNG impl's key width — rbg keys are (4,) uint32 while
+        # threefry are (2,), and Trainer defaults to rbg on TPU
+        # (cfg.fast_rng), so hardcoding 2 crashed pp_size>1 at trace time
+        key_w = (dropout_rng.shape[-1] if dropout_rng is not None
+                 else jax.random.PRNGKey(0).shape[-1])
+        rngs_mb = jnp.zeros((M, pp, per, 3, key_w), jnp.uint32)
     else:
         # one key per (microbatch, layer, dropout site); layer order matches
         # the dense encoder's rngs[3i+1 : 3i+4] convention
-        flat = jax.random.split(jax.random.fold_in(dropout_rng, 1),
-                                M * L * 3)
-        rngs_mb = jnp.asarray(flat, jnp.uint32).reshape(M, pp, per, 3, 2)
+        flat = jnp.asarray(
+            jax.random.split(jax.random.fold_in(dropout_rng, 1), M * L * 3),
+            jnp.uint32)
+        rngs_mb = flat.reshape(M, pp, per, 3, *flat.shape[1:])
 
     batch_spec = P(None, DATA_AXIS) if has_dp else P(None)
     stage_spec = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS),

@@ -116,9 +116,14 @@ class ExportedPredictor:
     PredictionServer / cli.serve can front it directly
     (`python -m mmda_tpu.cli.serve --export_dir ...`)."""
 
-    def __init__(self, export_dir: str):
+    def __init__(self, export_dir: str, overflow: str = "error"):
         import time
         import types
+
+        if overflow not in ("error", "truncate"):
+            raise ValueError(
+                f"overflow must be 'error'|'truncate', got {overflow!r}")
+        self.overflow = overflow
 
         with open(os.path.join(export_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -156,7 +161,18 @@ class ExportedPredictor:
         n = len(requests)
         if n > B:
             raise ValueError(f"{n} requests > exported max_batch {B}")
-        t = self._bucket(max(len(r["text"]) for r in requests))
+        max_len = max(len(r["text"]) for r in requests)
+        cap = max(self.manifest["bucket_sizes"])
+        if max_len > cap and self.overflow == "error":
+            # mirror Predictor's contract (serving.py): never silently drop
+            # the tail of an utterance — the serve front end maps this to 413
+            from mmda_tpu.serving import RequestTooLongError
+
+            raise RequestTooLongError(
+                f"request has {max_len} tokens but the largest exported bucket "
+                f"is {cap}; shorten the request or build the ExportedPredictor "
+                "with overflow='truncate'")
+        t = self._bucket(max_len)
 
         def pad_to(x, shape):
             out = np.zeros(shape, x.dtype)

@@ -179,10 +179,19 @@ def save_checkpoint_incremental(
         "step": state.step,
         "rng": state.rng,
     }
+    # EMA shadow (ADVICE r3 medium): without this a resumed ema_decay>0 run
+    # silently dropped the polyak average (load rebuilt ema_params=None and
+    # _ema_update is identity on None), flipping eval to live params.  Only
+    # the trainable split is stored: frozen leaves receive set_to_zero
+    # updates, so their EMA stays (numerically) pinned at the frozen base.
+    ema = getattr(state, "ema_params", None)
+    if ema is not None:
+        delta["ema_trainable"] = _split_params(ema, frozen)[0]
     payload = serialization.to_bytes(_to_host(delta))
     meta = dict(metadata or {})
     meta["incremental"] = True
     meta["base_digest"] = base_digest
+    meta["has_ema"] = ema is not None
 
     path = os.path.join(ckpt_dir, f"{name}.inc.msgpack")
     seq = _next_seq(path)
@@ -221,23 +230,36 @@ def load_checkpoint_incremental(ckpt_dir: str, name: str, template: Any,
         meta = json.load(f)
 
     t_trainable, t_frozen = _split_params(template.params, frozen)
+    delta_template = {"trainable": t_trainable, "opt_state": template.opt_state,
+                      "step": template.step, "rng": template.rng}
+    has_ema = meta.get("has_ema", False)
+    if has_ema:
+        # params leaves double as the shape/dtype template for the EMA split
+        # (ema_params mirrors params structure) so restore works even when
+        # the template TrainState was built with ema_params=None
+        delta_template["ema_trainable"] = dict(t_trainable)
     with open(os.path.join(ckpt_dir, f"{name}.inc.msgpack"), "rb") as f:
-        delta = serialization.from_bytes(
-            {"trainable": t_trainable, "opt_state": template.opt_state,
-             "step": template.step, "rng": template.rng}, f.read())
+        delta = serialization.from_bytes(delta_template, f.read())
 
-    merged = dict(delta["trainable"])
+    frozen_restored: Dict = {}
     if t_frozen:
         base_path = os.path.join(
             ckpt_dir, _FROZEN_BASE_FMT.format(digest=meta["base_digest"]))
         with open(base_path, "rb") as f:
-            merged.update(serialization.from_bytes(t_frozen, f.read()))
+            frozen_restored = serialization.from_bytes(t_frozen, f.read())
 
     flat = jax.tree_util.tree_flatten_with_path(template.params)
-    leaves = [merged[jax.tree_util.keystr(path)] for path, _ in flat[0]]
-    params = jax.tree_util.tree_unflatten(flat[1], leaves)
-    return type(template)(step=delta["step"], params=params,
-                          opt_state=delta["opt_state"], rng=delta["rng"])
+
+    def _merge(trainable_leaves: Dict) -> Any:
+        merged = dict(trainable_leaves)
+        merged.update(frozen_restored)
+        leaves = [merged[jax.tree_util.keystr(path)] for path, _ in flat[0]]
+        return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+    ema = _merge(delta["ema_trainable"]) if has_ema else None
+    return type(template)(step=delta["step"], params=_merge(delta["trainable"]),
+                          opt_state=delta["opt_state"], rng=delta["rng"],
+                          ema_params=ema)
 
 
 def load_checkpoint(ckpt_dir: str, name: str, template: Any) -> Any:

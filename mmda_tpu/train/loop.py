@@ -135,6 +135,13 @@ class Trainer:
                           "rbg" if use_rbg else "threefry2x32")
 
         self.mesh = None
+        # Process-global encode-override hooks installed below are recorded
+        # here and removed by close() (ADVICE r3 low: a second Trainer or a
+        # Predictor built later in the same process must not silently route
+        # bert_encode through a stale pipelined/sharded path bound to a dead
+        # mesh).  cli/train calls close() after the run; tests may use the
+        # Trainer as a context manager.
+        self._hook_uninstallers = []
         if cfg.pp_size > 1:
             # pipeline parallelism: ('data','pipe') mesh, BERT layers staged
             # over 'pipe' (parallel/pipeline.py), installed process-globally
@@ -156,6 +163,7 @@ class Trainer:
                     f"batch_size={cfg.batch_size}")
             self.mesh = ppipe.make_pipe_mesh(pp=cfg.pp_size, dp=dp)
             ppipe.install_pipeline_encoder(self.mesh, micro)
+            self._hook_uninstallers.append(ppipe.uninstall_pipeline_encoder)
         elif use_mesh and (len(jax.devices()) > 1 or cfg.tp_size > 1):
             self.mesh = pmesh.make_mesh(dp=cfg.dp_size, tp=cfg.tp_size)
             if cfg.sp:
@@ -167,11 +175,13 @@ class Trainer:
                     raise ValueError("sp=True needs tp_size > 1 (S is "
                                      "sharded over the TP 'model' axis)")
                 psq.install_sequence_sharding(self.mesh)
+                self._hook_uninstallers.append(psq.uninstall_sequence_sharding)
             if cfg.moe_experts > 0 and cfg.tp_size > 1:
                 # expert parallelism over the same 'model' devices
                 from mmda_tpu.parallel import expert as pexp
 
                 pexp.install_expert_sharding(self.mesh)
+                self._hook_uninstallers.append(pexp.uninstall_expert_sharding)
         elif cfg.sp:
             raise ValueError("sp=True needs a mesh with a 'model' axis "
                              "(tp_size > 1)")
@@ -280,6 +290,20 @@ class Trainer:
                 # an OOM/memory regression at real scale)
                 self.state = self._place_on_mesh(loaded)
                 self.logger.log({"resumed_at_step": int(self.state.step)})
+
+    def close(self) -> None:
+        """Remove the process-global encode-override hooks this Trainer
+        installed (pipeline/SP/EP).  Idempotent.  After close(), bert_encode
+        falls back to the dense path, so Predictors and later Trainers in the
+        same process see clean module state."""
+        while self._hook_uninstallers:
+            self._hook_uninstallers.pop()()
+
+    def __enter__(self) -> "Trainer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     @property
     def eval_params(self):
