@@ -10,6 +10,11 @@ Methodology: one lax.scan over n_steps distinct batches per variant, host
 readback of a scalar reduction per rep, median of reps (CLAUDE.md relay
 rules).  Run: PYTHONPATH=/root/repo:/root/.axon_site python
 benchmarks/bench_long_seq.py
+
+Each (S, impl) variant runs in its OWN subprocess with a timeout
+(benchmarks/subproc.py): the round-3 S=512 compile crashed the axon relay
+and killed the rest of the round's hardware queue — a bad compile must cost
+one variant, not the run.  BENCH_ISOLATE=0 restores single-process mode.
 """
 
 import json
@@ -19,8 +24,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from subproc import current_variant, run_variants_isolated  # noqa: E402
+
 
 def main():
+    B = int(os.environ.get("BENCH_B", "8"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    lengths = [int(s) for s in
+               os.environ.get("BENCH_S", "64,256,512").split(",")]
+
+    # isolation check BEFORE importing jax: the parent must never initialize
+    # the backend (only one process can hold the axon TPU tunnel)
+    variants = [f"{S}:{impl}" for S in lengths for impl in ("xla", "flash")]
+    if run_variants_isolated(variants):
+        return
+    if current_variant():
+        variants = [current_variant()]
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,12 +52,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from mmda_tpu.models import bert as jbert
-
-    B = int(os.environ.get("BENCH_B", "8"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-    lengths = [int(s) for s in
-               os.environ.get("BENCH_S", "64,256,512").split(",")]
 
     cfg = jbert.BertConfig.base()
     rng = np.random.default_rng(0)
@@ -74,9 +89,9 @@ def main():
             "compile_s": round(compile_s, 1),
         }), flush=True)
 
-    for S in lengths:
-        for impl in ("xla", "flash"):
-            measure(S, impl)
+    for v in variants:
+        S, impl = v.split(":")
+        measure(int(S), impl)
 
 
 if __name__ == "__main__":
