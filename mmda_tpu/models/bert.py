@@ -552,15 +552,24 @@ def bert_layer(x, lp, layer_rngs, *, cfg: BertConfig, attn_bias, dropout,
         ctx = short_attention(headed(q), headed(k), headed(v),
                               key_bias, seed, rate)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
-    elif attn_impl == "flash" and (deterministic
-                                   or cfg.attention_dropout == 0.0):
+    elif attn_impl == "flash":
         from mmda_tpu.ops.pallas.attention import flash_attention
 
+        # in-kernel attention-probs dropout (round 4): the (B*nh, S, S) mask
+        # the XLA path materializes never exists — the kernel draws the keep
+        # mask from a positional hash and the blockwise backward regenerates
+        # it (ops/pallas/attention.py)
+        rate = 0.0 if deterministic else cfg.attention_dropout
+        if rate > 0.0:
+            seed = jax.random.randint(r_attn, (1,), 0,
+                                      np.iinfo(np.int32).max, dtype=jnp.int32)
+        else:
+            seed = None
         q, k, v = heads(q), heads(k), heads(v)
         key_bias = jnp.repeat(attn_bias[:, 0, 0], nh, axis=0)  # (B*nh, S)
         ctx = flash_attention(
             q.astype(jnp.float32), k.astype(jnp.float32),
-            v.astype(jnp.float32), key_bias).astype(compute_dtype)
+            v.astype(jnp.float32), key_bias, seed, rate).astype(compute_dtype)
         ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
     else:
         q, k, v = heads(q), heads(k), heads(v)

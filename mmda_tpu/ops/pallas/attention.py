@@ -5,10 +5,25 @@ the (S, S) logits fit trivially in VMEM and XLA fuses the softmax (SURVEY.md
 §2.9 row 5).  This kernel exists for long-sequence configurations: blockwise
 online-softmax over K/V tiles so memory is O(S) instead of O(S^2).
 
-Forward-only custom_vjp: the backward recomputes standard attention under XLA
-(flash backward pays off only at sequence lengths this framework's datasets
-never reach; the flag keeps the XLA path the default).
-Equivalence tested in tests/test_pallas_attention.py (interpret mode).
+Round 4 additions (VERDICT r3 next-steps #2/#8):
+
+  * **In-kernel dropout** — a counter-based stateless hash keyed on
+    (seed, batch*head, global row, global col) draws the attention-probs
+    keep mask inside the kernel, so the (B*nh, S, S) mask tensor the XLA
+    path materializes (measured 2.6 ms/step of the MOSEI headline,
+    benchmarks/RESULTS.md round-3 set 3) never exists.  The backward
+    regenerates the identical mask by construction.
+  * **True blockwise backward** — dq and dk/dv kernels recompute the probs
+    per (q-block, k-block) tile from the saved logsumexp, so training memory
+    is O(S) too (the previous custom_vjp fell back to XLA standard attention,
+    which re-materialized the S^2 probs exactly where the kernel claimed to
+    avoid them).  Uses the standard flash-bwd identity
+    D_i = rowsum(do * o) = sum_k dP_ik P_ik (valid with dropout as well,
+    since o already carries the dropped probs).
+
+Equivalence tested in tests/test_pallas_attention.py (interpret mode):
+fwd + grads vs the XLA reference, multi-block and padded shapes, with and
+without dropout.
 """
 
 from __future__ import annotations
@@ -24,7 +39,29 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, scale: float):
+def _keep_mask(shape, rate: float, seed, bh, row0, col0):
+    """Counter-based dropout keep-mask over a (rows, cols) tile whose global
+    position is (row0, col0).  Pure function of (seed, bh, absolute position)
+    -> every kernel (fwd, dq, dk/dv) regenerates the identical mask for the
+    same tile regardless of grid decomposition.  splitmix-style avalanche;
+    >>8 keeps 24 bits, exact in int32->float32 (mosaic has no uint32->f32)."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(col0)
+    x = (rows * jnp.uint32(2654435761)
+         + cols * jnp.uint32(0x9E3779B9)
+         + seed.astype(jnp.uint32) * jnp.uint32(40503)
+         + jnp.asarray(bh, jnp.int32).astype(jnp.uint32) * jnp.uint32(51329))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    u = (x >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    return (u >= rate).astype(jnp.float32)
+
+
+def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                  *, block_k: int, block_q: int, scale: float, rate: float):
     """Grid: (batch*heads, q_blocks).  q/k/v/o blocks carry a leading
     singleton batch dim: q (1, Bq, D), k/v (1, S, D), o (1, Bq, D).  The
     bias arrives as a (1, num_kb, block_k) per-program block (reshaped in
@@ -36,10 +73,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, scale: 
     caught the first time the kernel was actually COMPILED at S=256 on
     hardware (benchmarks/bench_long_seq.py; the S<=64 single-block shapes
     it had been measured at never exercised the loop).  Trip counts are
-    tiny (S/128: 4 at S=512)."""
+    tiny (S/128: 4 at S=512).
+
+    With rate > 0 the accumulator uses DROPPED probs while the softmax
+    denominator keeps the raw probs (dropout applies to normalized probs,
+    exactly like the XLA path's post-softmax mask).  lse = m + log(l) is
+    written per row for the backward's probs recomputation."""
     q = q_ref[0] * scale                              # (Bq, D)
     S = k_ref.shape[1]
     Bq, D = q.shape
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    seed = seed_ref[0]
 
     m = jnp.full((Bq, 1), NEG_INF, jnp.float32)       # running max
     l = jnp.zeros((Bq, 1), jnp.float32)               # running denom
@@ -56,39 +101,126 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, scale: 
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed, bh,
+                              qb * block_q, i * block_k)
+            pd = p * keep * (1.0 / (1.0 - rate))
+        else:
+            pd = p
+        acc = acc * alpha + jnp.dot(pd, v, preferred_element_type=jnp.float32)
         m = m_new
     o_ref[0] = acc / l
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
 
 
-def _flash_forward(q, k, v, bias, block_q: int = 128, block_k: int = 128):
+def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                   dsum_ref, dq_ref, *, block_k: int, block_q: int,
+                   scale: float, rate: float):
+    """Grid (BH, num_qb): one dq block per program, static loop over K
+    blocks recomputing probs from lse.  dsum is D_i = rowsum(do * o)."""
+    q = q_ref[0] * scale                              # (Bq, D)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]                      # (Bq, 1)
+    dsum = dsum_ref[0, 0][:, None]                    # (Bq, 1)
+    S = k_ref.shape[1]
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    seed = seed_ref[0]
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    dq = jnp.zeros_like(q)
+    for i in range(S // block_k):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        b = bias_ref[0, i, :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b[None, :]
+        p = jnp.exp(s - lse)                           # true probs tile
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed, bh,
+                              qb * block_q, i * block_k) * inv
+            dp = dp * keep
+        ds = p * (dp - dsum)
+        dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dq_ref[0] = dq * scale
+
+
+def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                    dsum_ref, dk_ref, dv_ref, *, block_k: int, block_q: int,
+                    scale: float, rate: float):
+    """Grid (BH, num_kb): one (dk, dv) block per program, static loop over Q
+    blocks.  Padded q rows carry do = 0, so they contribute nothing."""
+    k = k_ref[0]                                       # (Bk, D)
+    v = v_ref[0]
+    b = bias_ref[0, 0, :]                              # (Bk,)
+    Sq = q_ref.shape[1]
+    bh = pl.program_id(0)
+    kb = pl.program_id(1)
+    seed = seed_ref[0]
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    dk = jnp.zeros_like(k)
+    dv = jnp.zeros_like(v)
+    for j in range(Sq // block_q):
+        q = q_ref[0, pl.ds(j * block_q, block_q), :] * scale
+        do = do_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, j, :][:, None]                # (Bq, 1)
+        dsum = dsum_ref[0, j, :][:, None]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b[None, :]
+        p = jnp.exp(s - lse)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed, bh,
+                              j * block_q, kb * block_k) * inv
+            pd = p * keep
+        else:
+            keep = None
+            pd = p
+        dv = dv + jnp.dot(pd.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if keep is not None:
+            dp = dp * keep
+        ds = p * (dp - dsum)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+    dk_ref[0] = dk                                     # q already scaled
+    dv_ref[0] = dv
+
+
+def _pad_inputs(q, k, v, bias, block_q, block_k):
+    BH, S, D = q.shape
+    Sq = -(-S // block_q) * block_q
+    Sk = -(-S // block_k) * block_k
+    if Sq != S:
+        q = jnp.pad(q, ((0, 0), (0, Sq - S), (0, 0)))
+    if Sk != S:
+        k = jnp.pad(k, ((0, 0), (0, Sk - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Sk - S), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, Sk - S)), constant_values=NEG_INF)
+    return q, k, v, bias, Sq, Sk
+
+
+def _flash_forward(q, k, v, bias, seed, rate: float,
+                   block_q: int = 128, block_k: int = 128):
     """q,k,v: (BH, S, D) fp32; bias: (BH, S) additive key mask (0 or -inf-ish).
-    Returns (BH, S, D)."""
+    Returns ((BH, S, D) out, (BH, num_qb, block_q) lse over padded rows)."""
     BH, S, D = q.shape
     block_q = min(block_q, S)
     block_k = min(block_k, S)
-    # pad S to multiples of blocks
-    Sq = -(-S // block_q) * block_q
-    Sk = -(-S // block_k) * block_k
-    if Sq != S or Sk != S:
-        pad_q = Sq - S
-        pad_k = Sk - S
-        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, pad_k)), constant_values=NEG_INF)
+    q, k, v, bias, Sq, Sk = _pad_inputs(q, k, v, bias, block_q, block_k)
 
     kernel = functools.partial(_flash_kernel, block_k=block_k,
-                               scale=1.0 / np.sqrt(D))
+                               block_q=block_q, scale=1.0 / np.sqrt(D),
+                               rate=rate)
     num_kb = Sk // block_k
+    num_qb = Sq // block_q
     # (BH, num_kb, block_k): per-program (1, num_kb, block_k) blocks whose
     # trailing two dims are WHOLE — tile-legal at any S, and the kernel
     # indexes it with static offsets only (see _flash_kernel docstring)
     bias_blocks = bias.reshape(BH, num_kb, block_k)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        grid=(BH, Sq // block_q),
+        grid=(BH, num_qb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0),
@@ -98,15 +230,87 @@ def _flash_forward(q, k, v, bias, block_q: int = 128, block_k: int = 128):
             pl.BlockSpec((1, num_kb, block_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+        out_specs=(
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((BH, Sq, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, num_qb, block_q), jnp.float32)),
+        interpret=_interpret(),
+    )(seed, q, k, v, bias_blocks)
+    return out[:, :S, :], lse
+
+
+def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
+                    block_q: int = 128, block_k: int = 128):
+    BH, S, D = q.shape
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
+    # zero-pad do so padded q rows contribute nothing to dk/dv
+    do = jnp.pad(do, ((0, 0), (0, -(-S // block_q) * block_q - S), (0, 0)))
+    q, k, v, bias, Sq, Sk = _pad_inputs(q, k, v, bias, block_q, block_k)
+    num_kb = Sk // block_k
+    num_qb = Sq // block_q
+    bias_blocks = bias.reshape(BH, num_kb, block_k)
+
+    # D_i = rowsum(do * o): one cheap fused elementwise+reduce under XLA,
+    # blocked like lse for static in-kernel slicing
+    dsum = jnp.sum(do[:, :S, :] * o, axis=-1)
+    dsum = jnp.pad(dsum, ((0, 0), (0, Sq - S))).reshape(BH, num_qb, block_q)
+
+    scale = 1.0 / np.sqrt(D)
+    common = dict(block_k=block_k, block_q=block_q, scale=scale, rate=rate)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = lambda: pl.BlockSpec((1, Sq, D), lambda b, i: (b, 0, 0),   # noqa: E731
+                                memory_space=pltpu.VMEM)
+    fullk = lambda: pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    qblk = lambda: pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    rows_all = lambda: pl.BlockSpec((1, num_qb, block_q),             # noqa: E731
+                                    lambda b, i: (b, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    rows_blk = lambda: pl.BlockSpec((1, 1, block_q), lambda b, i: (b, i, 0),  # noqa: E731
+                                    memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(BH, num_qb),
+        in_specs=[smem, qblk(), fullk(), fullk(),
+                  pl.BlockSpec((1, num_kb, block_k), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM),
+                  qblk(), rows_blk(), rows_blk()],
+        out_specs=qblk(),
         out_shape=jax.ShapeDtypeStruct((BH, Sq, D), jnp.float32),
         interpret=_interpret(),
-    )(q, k, v, bias_blocks)
-    return out[:, :S, :]
+    )(seed, q, k, v, bias_blocks, do, lse, dsum)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid=(BH, num_kb),
+        in_specs=[smem, full(),
+                  pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, block_k), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  full(), rows_all(), rows_all()],
+        out_specs=(pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((BH, Sk, D), jnp.float32),) * 2,
+        interpret=_interpret(),
+    )(seed, q, k, v, bias_blocks, do, lse, dsum)
+
+    return dq[:, :S, :], dk[:, :S, :], dv[:, :S, :]
 
 
 def _xla_attention(q, k, v, bias):
+    """Plain XLA attention — the equivalence oracle for tests."""
     D = q.shape[-1]
     s = jnp.einsum("bqd,bkd->bqk", q, k,
                    preferred_element_type=jnp.float32) / np.sqrt(D)
@@ -115,21 +319,28 @@ def _xla_attention(q, k, v, bias):
     return jnp.einsum("bqk,bkd->bqd", p, v, preferred_element_type=jnp.float32)
 
 
-@jax.custom_vjp
-def flash_attention(q, k, v, bias):
-    """Non-causal attention with additive key bias.  q,k,v: (BH, S, D) fp32;
-    bias: (BH, S)."""
-    return _flash_forward(q, k, v, bias)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def flash_attention(q, k, v, bias, seed=None, rate: float = 0.0):
+    """Non-causal attention with additive key bias and optional in-kernel
+    attention-probs dropout.  q,k,v: (BH, S, D) fp32; bias: (BH, S);
+    seed: (1,) int32 (ignored when rate == 0); rate: dropout probability.
+    O(S) memory forward AND backward (blockwise probs recomputation)."""
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return _flash_forward(q, k, v, bias, seed, rate)[0]
 
 
-def _fa_fwd(q, k, v, bias):
-    return _flash_forward(q, k, v, bias), (q, k, v, bias)
+def _fa_fwd(q, k, v, bias, seed, rate):
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    o, lse = _flash_forward(q, k, v, bias, seed, rate)
+    return o, (q, k, v, bias, seed, lse, o)
 
 
-def _fa_bwd(res, g):
-    q, k, v, bias = res
-    _, vjp = jax.vjp(_xla_attention, q, k, v, bias)
-    return vjp(g)
+def _fa_bwd(rate, res, g):
+    q, k, v, bias, seed, lse, o = res
+    dq, dk, dv = _flash_backward(q, k, v, bias, seed, lse, o, g, rate)
+    return dq, dk, dv, None, None
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)

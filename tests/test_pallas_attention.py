@@ -80,6 +80,134 @@ def test_bert_encode_flash_routing_matches_xla():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("S", [16, 300])   # 300: multi-block + padded rows
+def test_flash_blockwise_backward_matches_xla(S):
+    """Round 4: the custom_vjp backward is now the blockwise Pallas kernel
+    pair (O(S) memory), no longer an XLA standard-attention recompute — the
+    grads must still be the XLA reference's, including across block
+    boundaries and with padded rows/cols masked."""
+    BH, D = 4, 8
+    q = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    k = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    v = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    mask = np.ones((BH, S), np.float32)
+    mask[1, S // 2:] = 0
+    bias = jnp.array((1.0 - mask) * fa.NEG_INF)
+    g = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, bias) * g)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(fa._xla_attention(q, k, v, bias) * g)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def _reference_dropout_attention(q, k, v, bias, seed, rate):
+    """XLA-style attention with the keep mask drawn from the SAME positional
+    hash the kernel uses — the oracle for the in-kernel dropout path."""
+    D = q.shape[-1]
+    s = jnp.einsum("bqd,bkd->bqk", q, k,
+                   preferred_element_type=jnp.float32) / np.sqrt(D)
+    s = s + bias[:, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    S = q.shape[1]
+    keep = jnp.stack([fa._keep_mask((S, S), rate, seed, bh, 0, 0)
+                      for bh in range(q.shape[0])])
+    p = p * keep * (1.0 / (1.0 - rate))
+    return jnp.einsum("bqk,bkd->bqd", p, v,
+                      preferred_element_type=jnp.float32)
+
+
+@pytest.mark.parametrize("S", [16, 200])   # 200: blocks + padding with masks
+def test_flash_inkernel_dropout_fwd_and_grads(S):
+    """In-kernel dropout (round 4): forward equals the reference computed
+    with the same hash mask, and the backward (which REGENERATES the mask
+    blockwise rather than saving it) produces the reference grads."""
+    BH, D = 3, 8
+    rate = 0.3
+    seed = jnp.array([1234], jnp.int32)
+    q = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    k = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    v = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    mask = np.ones((BH, S), np.float32)
+    mask[0, S - 3:] = 0
+    bias = jnp.array((1.0 - mask) * fa.NEG_INF)
+    g = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+
+    want = _reference_dropout_attention(q, k, v, bias, seed, rate)
+    got = fa.flash_attention(q, k, v, bias, seed, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, bias, seed, rate) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_dropout_attention(q, k, v, bias, seed,
+                                                    rate) * g)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_flash_dropout_statistics_and_zero_rate():
+    BH, S, D = 2, 64, 8
+    rate = 0.25
+    q = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    k = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    v = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    bias = jnp.zeros((BH, S))
+    # keep-rate of the hash is ~1-rate
+    keeps = np.asarray(fa._keep_mask((256, 256), rate,
+                                     jnp.array([7], jnp.int32), 0, 0, 0))
+    assert abs(keeps.mean() - (1.0 - rate)) < 0.01
+    # rate=0 (with or without a seed) is exactly the deterministic kernel
+    det = fa.flash_attention(q, k, v, bias)
+    z = fa.flash_attention(q, k, v, bias, jnp.array([9], jnp.int32), 0.0)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(z))
+    # different seeds draw different masks
+    a = fa.flash_attention(q, k, v, bias, jnp.array([1], jnp.int32), rate)
+    b = fa.flash_attention(q, k, v, bias, jnp.array([2], jnp.int32), rate)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bert_flash_training_dropout_routes_inkernel():
+    """attn_impl='flash' no longer falls back to XLA when training with
+    attention dropout — the kernel path must run, differ from deterministic,
+    and backprop finitely."""
+    from mmda_tpu.models.bert import BertConfig, bert_encode, init_bert_params
+
+    cfg = BertConfig.tiny()
+    params = init_bert_params(jax.random.PRNGKey(0), cfg)
+    B, S = 2, 12
+    ids = jnp.array(RNG.integers(5, cfg.vocab_size, size=(B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+
+    def run(p, rng):
+        return bert_encode(p, cfg, ids, mask, deterministic=False,
+                           dropout_rng=rng, compute_dtype=jnp.float32,
+                           attn_impl="flash")
+
+    out = run(params, jax.random.PRNGKey(3))
+    det = bert_encode(params, cfg, ids, mask, deterministic=True,
+                      compute_dtype=jnp.float32, attn_impl="flash")
+    assert np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(np.asarray(out), np.asarray(det))
+
+    g = jax.grad(lambda p: jnp.sum(run(p, jax.random.PRNGKey(4)) ** 2))(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_misa_forward_flash_flag_matches():
     from mmda_tpu.config import Config
     from mmda_tpu.models import Batch, get_model
