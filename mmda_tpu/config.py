@@ -274,6 +274,12 @@ class Config:
                                   # replicating (parallel/mesh.py::
                                   # zero1_opt_specs); 1/dp optimizer memory
                                   # per device, same collective volume
+    fsdp: bool = False            # ZeRO-3/FSDP: shard params (and their Adam
+                                  # m/v mirrors) over the DP 'data' axis —
+                                  # XLA SPMD derives all-gather-on-use and
+                                  # grad reduce-scatter (parallel/mesh.py::
+                                  # fsdp_param_specs); ~1/dp param+grad+opt
+                                  # memory per device, composes with TP
 
     # MMIM (models/mmim.py) MI-term weights (paper's alpha/beta)
     mmim_alpha: float = 0.1       # Barber-Agakov NLL (low-level MI) weight

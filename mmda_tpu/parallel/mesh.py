@@ -157,6 +157,73 @@ def shard_opt_state_zero1(opt_state: Any, mesh: Mesh) -> Any:
         opt_state, specs)
 
 
+_FSDP_MIN_SIZE = 2048   # don't shard tiny leaves: gather latency > memory win
+
+
+def fsdp_param_specs(params: Any, mesh: Mesh, tp: bool = False,
+                     min_size: int = _FSDP_MIN_SIZE) -> Any:
+    """ZeRO-3/FSDP-style parameter sharding (round 4, VERDICT r3 #7): every
+    large param leaf is sharded over the DP 'data' axis, COMPOSED with the
+    Megatron-TP specs — the TP axis placement is kept and 'data' is added on
+    the first dimension the TP spec left unsharded whose size divides dp.
+
+    The XLA way: no hand-written gather/scatter — jit sees 1/dp-sharded
+    weights as inputs, SPMD derives the all-gather-on-use in forward/backward
+    and the reduce-scatter of grads feeding the sharded update, and the new
+    params come back 1/dp-sharded.  Per-device param+grad+opt memory drops
+    to ~1/dp (measured in tests/test_fsdp.py); the collective volume per
+    step is the scaling-book FSDP trade (params gathered twice, grads
+    scattered once) vs DP's single grad all-reduce.
+
+    Leaves smaller than _FSDP_MIN_SIZE or with no dividing dim stay at their
+    base spec — correctness first, memory second (same stance as ZeRO-1)."""
+    dp = mesh.shape[DATA_AXIS]
+    base = param_partition_specs(params, tp)
+
+    def spec(x, s):
+        if (not hasattr(x, "ndim") or x.ndim < 1
+                or x.size < min_size or dp <= 1):
+            return s
+        parts = list(s) + [None] * (x.ndim - len(s))
+        for d in range(x.ndim):
+            if parts[d] is None and x.shape[d] % dp == 0:
+                parts[d] = DATA_AXIS
+                return P(*parts)
+        return s
+
+    return jax.tree_util.tree_map(spec, params, base)
+
+
+def shard_params_fsdp(params: Any, mesh: Mesh, tp: Optional[bool] = None) -> Any:
+    """Place params on the mesh per `fsdp_param_specs`."""
+    if tp is None:
+        tp = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+    specs = fsdp_param_specs(params, mesh, tp)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def shard_opt_state_fsdp(opt_state: Any, mesh: Mesh) -> Any:
+    """FSDP's optimizer-state placement: the Adam m/v mirrors get the same
+    first-divisible-dim 'data' sharding as their params (generic leaf rule —
+    the opt-state tree nests the param structure, so shapes match).  Leaves
+    with no dividing dim stay replicated."""
+    dp = mesh.shape[DATA_AXIS]
+
+    def spec(x):
+        if (hasattr(x, "ndim") and x.ndim >= 1 and x.size >= _FSDP_MIN_SIZE
+                and dp > 1):
+            for d in range(x.ndim):
+                if x.shape[d] % dp == 0:
+                    parts = [None] * x.ndim
+                    parts[d] = DATA_AXIS
+                    return P(*parts)
+        return P()
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec(x))), opt_state)
+
+
 # ---------------------------------------------------------------------------
 # Parameter partition specs (TP for the BERT tower)
 # ---------------------------------------------------------------------------

@@ -185,6 +185,19 @@ class Trainer:
         elif cfg.sp:
             raise ValueError("sp=True needs a mesh with a 'model' axis "
                              "(tp_size > 1)")
+        if cfg.fsdp:
+            # validated-error coverage, same stance as MoE x PP below
+            if cfg.pp_size > 1:
+                raise ValueError(
+                    "fsdp does not compose with pp_size>1: the pipeline "
+                    "stage-stacks BERT layer params over 'pipe' "
+                    "(parallel/pipeline.py), which conflicts with FSDP's "
+                    "per-leaf 'data' sharding")
+            if self.mesh is None or pmesh.DATA_AXIS not in self.mesh.axis_names:
+                raise ValueError(
+                    "fsdp=True needs a mesh with a 'data' axis (>1 device, "
+                    "or explicit dp_size); a 1-device FSDP run would shard "
+                    "nothing while paying the layout constraints")
 
         from mmda_tpu.ops import pallas as pallas_flags
 
@@ -321,7 +334,12 @@ class Trainer:
         initial build and the resume path so both get identical layouts."""
         if self.mesh is None:
             return state
-        if self.cfg.zero1 and pmesh.DATA_AXIS in self.mesh.axis_names:
+        place_params = (pmesh.shard_params_fsdp if self.cfg.fsdp
+                        else pmesh.shard_params)
+        if self.cfg.fsdp and pmesh.DATA_AXIS in self.mesh.axis_names:
+            # ZeRO-3/FSDP: Adam m/v mirrors sharded like their params
+            opt_state = pmesh.shard_opt_state_fsdp(state.opt_state, self.mesh)
+        elif self.cfg.zero1 and pmesh.DATA_AXIS in self.mesh.axis_names:
             # ZeRO-1: Adam m/v sharded 1/dp over 'data'
             # (parallel/mesh.py::zero1_opt_specs); XLA SPMD derives the
             # reduce-scatter/all-gather pair around the update
@@ -333,10 +351,10 @@ class Trainer:
             )
         return TrainState(
             step=jax.device_put(state.step, pmesh.replicated(self.mesh)),
-            params=pmesh.shard_params(state.params, self.mesh),
+            params=place_params(state.params, self.mesh),
             opt_state=opt_state,
             rng=jax.device_put(state.rng, pmesh.replicated(self.mesh)),
-            ema_params=(pmesh.shard_params(state.ema_params, self.mesh)
+            ema_params=(place_params(state.ema_params, self.mesh)
                         if state.ema_params is not None else None),
         )
 
