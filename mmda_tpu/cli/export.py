@@ -41,11 +41,30 @@ def main(argv=None):
         raise SystemExit(f"no checkpoint {name!r} under {cfg.ckpt_dir}")
     params = ckpt.load_checkpoint(cfg.ckpt_dir, name, template)
 
+    # bake the tokenizer + word2id into the artifact so the standalone host
+    # serves raw text (round 4): WordPiece vocab from --vocab_file, GloVe
+    # word2id from the ETL's vocab.tsv next to the splits
+    tokenizer = None
+    if cfg.vocab_file:
+        from mmda_tpu.data.etl.tokenizer import WordPieceTokenizer
+
+        tokenizer = WordPieceTokenizer.from_vocab_file(cfg.vocab_file)
+    word2id = None
+    if cfg.data != "synthetic":
+        import os
+
+        from mmda_tpu.data.etl.vocab import Vocab
+
+        w2_path = os.path.join(cfg.data_dir, cfg.data.upper(), "vocab.tsv")
+        if os.path.exists(w2_path):
+            word2id = Vocab.load(w2_path).word2id
+
     manifest = export_model(
         cfg, params, cfg.export_dir, bert_cfg=bert_cfg,
         visual_size=split["visual"].shape[-1],
         acoustic_size=split["acoustic"].shape[-1],
         max_batch=cfg.batch_size,
+        tokenizer=tokenizer, word2id=word2id,
     )
     print(f"exported {manifest['model']} -> {cfg.export_dir} "
           f"(buckets {manifest['bucket_sizes']}, max_batch "

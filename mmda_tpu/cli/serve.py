@@ -100,8 +100,9 @@ def serve(cfg, params=None, port: int = 8321, host: str = "127.0.0.1",
     `threading.Thread(target=httpd.serve_forever)` — see tests.
 
     predictor: pre-built predictor to front instead of constructing one —
-    e.g. an ExportedPredictor serving a StableHLO artifact
-    (`--export_dir`, pre-tokenized requests only)."""
+    e.g. an ExportedPredictor serving a StableHLO artifact (`--export_dir`;
+    raw-text requests too when the artifact was exported with a baked
+    tokenizer, see serving_export.export_model)."""
     import jax
 
     from mmda_tpu.serving import Predictor
