@@ -62,17 +62,22 @@ def main():
             for k in splits[0]
         })
 
+    top_k = int(os.environ.get("BENCH_MOE_TOPK", "1"))
+
     def measure(tag, moe_experts, grouped=True):
+        if moe_experts and top_k != 1:
+            tag = f"{tag}_top{top_k}"
         cfg = Config(use_bert=True, batch_size=B, max_seq_len=T,
                      compute_dtype="bfloat16", data="mosei", name="bench_moe",
-                     moe_experts=moe_experts)
+                     moe_experts=moe_experts, moe_top_k=top_k)
         bert_cfg = BertConfig.base()
         if cfg.fast_dropout and jax.default_backend() == "tpu":
             bert_cfg = dataclasses.replace(bert_cfg, dropout_bits=8,
                                            dropout_recompute=True)
         if moe_experts:
             bert_cfg = dataclasses.replace(bert_cfg, moe_experts=moe_experts,
-                                           moe_group_by_example=grouped)
+                                           moe_group_by_example=grouped,
+                                           moe_top_k=top_k)
         pallas_flags.set_enabled(
             cfg.use_pallas and jax.default_backend() == "tpu")
 
