@@ -191,3 +191,33 @@ def test_fsdp_validated_errors(tmp_path):
     with pytest.raises(ValueError, match="needs a mesh"):
         Trainer(Config(name="f2", **base), data, bert_cfg=bert_cfg,
                 use_mesh=False)
+
+
+def test_fsdp_hlo_inserts_weight_allgathers():
+    """The collective signature of FSDP: the compiled step must contain
+    all-gather ops (weights gathered on use) that the replicated-params
+    step does not — evidence SPMD actually derived the FSDP schedule
+    rather than silently re-replicating (measured: 35 all-gathers at dp=8
+    on this tiny tower, 0 replicated)."""
+    import collections
+    import re
+
+    state, split, step = _setup()
+    mesh = pmesh.make_mesh(dp=8, tp=1)
+    batch = pmesh.shard_batch(Batch(**split), mesh)
+
+    def hist(s):
+        txt = jax.jit(step).lower(s, batch).compile().as_text()
+        return collections.Counter(
+            re.findall(r"(all-gather|reduce-scatter|all-reduce)", txt))
+
+    h_rep = hist(_place(state, mesh, fsdp=False))
+    h_f = hist(_place(state, mesh, fsdp=True))
+    # strictly more gathers under FSDP (0 vs 35 in isolation; compared
+    # relatively because XLA's partitioner makes a few layout-dependent
+    # gather choices that shift with process-global config from earlier
+    # tests in the file)
+    assert h_f["all-gather"] > h_rep["all-gather"], (dict(h_rep), dict(h_f))
+    assert h_f["all-gather"] >= 10, dict(h_f)
+    # DP's gradient reduction is present in both layouts
+    assert h_rep["all-reduce"] > 0 and h_f["all-reduce"] > 0
