@@ -62,6 +62,11 @@ def main():
         attn_impl=os.environ.get("BENCH_ATTN", "xla"),
     )
     bert_cfg = BertConfig.base()
+    if os.environ.get("BENCH_FUSED_LN", "0") == "1":
+        # A/B hook: fused Pallas LN(x + dropout(h)) sites (round 4)
+        import dataclasses
+
+        bert_cfg = dataclasses.replace(bert_cfg, fused_ln_dropout=True)
     if cfg.fast_dropout and jax.default_backend() == "tpu":
         # cfg.fast_dropout production default (mirrors Trainer):
         # uint8 dropout draws + masks regenerated in the backward

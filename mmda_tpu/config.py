@@ -337,6 +337,13 @@ class Config:
                                   # measured ~5.9 ms dropout cost at B=64/T=48
                                   # (benchmarks/RESULTS.md round-3); False
                                   # restores float-draw torch-style dropout.
+    fused_ln_dropout: bool = False  # route the BERT LN(x + dropout(h)) sites
+                                  # through the fused Pallas kernel with
+                                  # in-kernel mask drawing
+                                  # (ops/pallas/layernorm.py).  Hash-based
+                                  # dropout draws (statistically equivalent,
+                                  # not bit-identical).  Off until the TPU
+                                  # A/B accepts it (round-4 experiment).
     fast_rng: bool = True         # on TPU, use the rbg hardware PRNG for
                                   # dropout masks instead of threefry
                                   # (measured -1.15 ms/fwd at B=64/T=48,

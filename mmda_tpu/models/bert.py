@@ -58,6 +58,15 @@ class BertConfig:
                                   # keep probability quantizes to k/256 and
                                   # the scale uses the EXACT realized k/256,
                                   # so expectation stays unbiased
+    fused_ln_dropout: bool = False  # route the 24 per-layer
+                                  # LN(x + dropout(h)) sites through the
+                                  # fused Pallas kernel with IN-KERNEL mask
+                                  # drawing (ops/pallas/layernorm.py): the
+                                  # mask/dropout-output/normalized tensors
+                                  # never exist in HBM.  Hash-based draws
+                                  # (statistically equivalent, not
+                                  # bit-identical to jax.random).  Off until
+                                  # the TPU A/B accepts it.
     remat: bool = False           # jax.checkpoint each encoder layer:
                                   # recompute the layer forward during the
                                   # backward instead of saving activations
@@ -588,10 +597,29 @@ def bert_layer(x, lp, layer_rngs, *, cfg: BertConfig, attn_bias, dropout,
             preferred_element_type=jnp.float32).astype(compute_dtype)
         ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
     attn = _apply_dense(lp["attn_out"], ctx, compute_dtype)
-    if not deterministic:
-        attn = dropout(r_post, attn, cfg.hidden_dropout, deterministic)
-    x = _layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps,
-                    cfg.ln_fp32).astype(compute_dtype)
+
+    def _residual_ln(x, h, ln, rng):
+        """LN(x + dropout(h)) — fused Pallas site when cfg.fused_ln_dropout
+        (mask drawn in-kernel, regenerated in the backward), else the
+        reference-faithful jax.random path."""
+        if (cfg.fused_ln_dropout and not deterministic
+                and cfg.hidden_dropout > 0.0 and cfg.ln_fp32):
+            from mmda_tpu.ops.pallas.layernorm import (
+                residual_dropout_layernorm)
+
+            seed = jax.random.randint(rng, (1,), 0,
+                                      np.iinfo(np.int32).max, dtype=jnp.int32)
+            out = residual_dropout_layernorm(
+                x.reshape(B * S, H), h.reshape(B * S, H),
+                ln["scale"], ln["bias"], seed,
+                cfg.hidden_dropout, cfg.layer_norm_eps)
+            return out.reshape(B, S, H).astype(compute_dtype)
+        if not deterministic:
+            h = dropout(rng, h, cfg.hidden_dropout, deterministic)
+        return _layer_norm(ln, x + h, cfg.layer_norm_eps,
+                           cfg.ln_fp32).astype(compute_dtype)
+
+    x = _residual_ln(x, attn, lp["attn_ln"], r_post)
 
     if cfg.moe_experts > 0:
         from mmda_tpu.ops.moe import switch_ffn
@@ -610,10 +638,7 @@ def bert_layer(x, lp, layer_rngs, *, cfg: BertConfig, attn_bias, dropout,
         else:
             h = jax.nn.gelu(h, approximate=True)
         h = _apply_dense(lp["ffn_out"], h.astype(compute_dtype), compute_dtype)
-    if not deterministic:
-        h = dropout(r_ffn, h, cfg.hidden_dropout, deterministic)
-    x = _layer_norm(lp["ffn_ln"], x + h, cfg.layer_norm_eps,
-                    cfg.ln_fp32).astype(compute_dtype)
+    x = _residual_ln(x, h, lp["ffn_ln"], r_ffn)
     # static branch on the config: MoE layers report their router aux losses
     return (x, moe_aux) if cfg.moe_experts > 0 else x
 
@@ -645,6 +670,8 @@ def bert_config_for(cfg) -> Optional["BertConfig"]:
         bc = dataclasses.replace(bc, moe_experts=cfg.moe_experts,
                                  moe_capacity_factor=cfg.moe_capacity_factor,
                                  moe_top_k=getattr(cfg, "moe_top_k", 1))
+    if getattr(cfg, "fused_ln_dropout", False):
+        bc = dataclasses.replace(bc, fused_ln_dropout=True)
     return bc
 
 

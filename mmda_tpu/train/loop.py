@@ -95,6 +95,13 @@ class Trainer:
 
             self.bert_cfg = dataclasses.replace(
                 self.bert_cfg, dropout_bits=8, dropout_recompute=True)
+        if cfg.fused_ln_dropout and self.bert_cfg is not None:
+            # fused Pallas LN(x + dropout(h)) sites, in-kernel mask drawing
+            # (ops/pallas/layernorm.py) — measured A/B flag, off by default
+            import dataclasses
+
+            self.bert_cfg = dataclasses.replace(
+                self.bert_cfg, fused_ln_dropout=True)
         if cfg.moe_experts > 0:
             # Switch-MoE BERT FFN (ops/moe.py); net-new vs the dense reference
             import dataclasses
