@@ -40,9 +40,10 @@ run bench_moe_top2 2400 env BENCH_MOE_TOPK=2 python benchmarks/bench_moe.py
 # 5. serving weights-dtype A/B (bf16 storage default)
 run bench_serving_wdtype 2400 python benchmarks/bench_serving.py --sections wdtype
 
-echo "=== queue done; logs in $LOG ==="
 
 # 6. fused LN(x + dropout(h)) Pallas sites (round-4 kernel) vs headline
 run bench_fused_ln 1800 env BENCH_FUSED_LN=1 python bench.py
 # 6b. composed: fused LN sites + in-kernel-dropout flash attention
 run bench_fused_ln_flash 1800 env BENCH_FUSED_LN=1 BENCH_ATTN=flash python bench.py
+
+echo "=== queue done; logs in $LOG ==="
