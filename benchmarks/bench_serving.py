@@ -142,7 +142,9 @@ def run_wdtype(cfg, params, bert_cfg, tok, rng):
 
     B = cfg.batch_size
     reqs = [_make_req(rng, cfg) for _ in range(B)]
-    for dt in (None, "bfloat16"):
+    # int8 (round 4): weight-only per-channel quantized kernels — half of
+    # bf16's weight reads; accuracy bound in tests/test_int8_serving.py
+    for dt in (None, "bfloat16", "int8"):
         pred = Predictor(cfg, params=params, bert_cfg=bert_cfg, max_batch=B,
                          tokenizer=tok, word2id={}, bert_weights_dtype=dt)
         tag = f"w{dt or 'f32'}"

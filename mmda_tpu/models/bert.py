@@ -178,6 +178,15 @@ def _layer_norm(p, x, eps, fp32: bool = True):
 
 
 def _apply_dense(p, x, compute_dtype):
+    if "kernel_q" in p:
+        # int8 weight-only quantized dense (serving path, quantize_bert_int8):
+        # per-OUTPUT-channel symmetric scales distribute over matmul columns,
+        # so dequant is one post-matmul row-vector multiply and the weight
+        # HBM read is half of bf16 / a quarter of f32
+        y = jnp.dot(x, p["kernel_q"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * p["scale"].astype(jnp.float32)).astype(compute_dtype) \
+            + p["bias"].astype(compute_dtype)
     return jnp.dot(
         x, p["kernel"].astype(compute_dtype), preferred_element_type=jnp.float32
     ).astype(compute_dtype) + p["bias"].astype(compute_dtype)
@@ -504,13 +513,23 @@ def bert_layer(x, lp, layer_rngs, *, cfg: BertConfig, attn_bias, dropout,
     r_attn, r_post, r_ffn = layer_rngs
     # fused QKV: one (B*S, H) x (H, 3H) MXU matmul instead of three.
     # Params stay separate (HF-load / freezing / TP-spec compatibility);
-    # the concat is a cheap per-layer weight reshape XLA hoists.
-    qkv_kernel = jnp.concatenate(
-        [lp["q"]["kernel"], lp["k"]["kernel"], lp["v"]["kernel"]], axis=1)
+    # the concat is a cheap per-layer weight reshape XLA hoists.  Per-column
+    # int8 scales concatenate the same way (quantize_bert_int8 serving path).
     qkv_bias = jnp.concatenate(
         [lp["q"]["bias"], lp["k"]["bias"], lp["v"]["bias"]])
-    qkv = _apply_dense({"kernel": qkv_kernel, "bias": qkv_bias}, x,
-                       compute_dtype)
+    if "kernel_q" in lp["q"]:
+        qkv = _apply_dense({
+            "kernel_q": jnp.concatenate(
+                [lp["q"]["kernel_q"], lp["k"]["kernel_q"],
+                 lp["v"]["kernel_q"]], axis=1),
+            "scale": jnp.concatenate(
+                [lp["q"]["scale"], lp["k"]["scale"], lp["v"]["scale"]]),
+            "bias": qkv_bias}, x, compute_dtype)
+    else:
+        qkv_kernel = jnp.concatenate(
+            [lp["q"]["kernel"], lp["k"]["kernel"], lp["v"]["kernel"]], axis=1)
+        qkv = _apply_dense({"kernel": qkv_kernel, "bias": qkv_bias}, x,
+                           compute_dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     # flatten (batch, heads) into one leading batch dim: explicit batched
     # dot_general lays out ~1.4x faster on the MXU than the 4-D einsum at
@@ -673,6 +692,36 @@ def bert_config_for(cfg) -> Optional["BertConfig"]:
     if getattr(cfg, "fused_ln_dropout", False):
         bc = dataclasses.replace(bc, fused_ln_dropout=True)
     return bc
+
+
+_QUANT_DENSE_NAMES = ("q", "k", "v", "attn_out", "ffn_in", "ffn_out")
+
+
+def quantize_bert_int8(bert_params: Dict) -> Dict:
+    """Weight-only int8 quantization of the encoder-layer dense kernels
+    (serving path; reached via Predictor(bert_weights_dtype='int8')).
+
+    Per-output-channel symmetric: s_j = max_i |w_ij| / 127, w_q = round(w/s).
+    Because the scale is per COLUMN it distributes over the matmul, so
+    _apply_dense dequantizes with one post-matmul row-vector multiply — the
+    kernel read from HBM is int8 (the serving forward at MOSEI shapes is
+    weight-traffic-bound).  Embeddings/LayerNorms/pooler stay as loaded
+    (lookups and per-element params — no matmul traffic to save).  Training
+    never sees this representation (weight-only, no QAT)."""
+
+    def quant(p):
+        w = p["kernel"]
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-8)
+        wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        return {"kernel_q": wq, "scale": s.astype(jnp.float32),
+                "bias": p["bias"]}
+
+    out = dict(bert_params)
+    out["layers"] = [
+        {name: (quant(sub) if name in _QUANT_DENSE_NAMES else sub)
+         for name, sub in layer.items()}
+        for layer in bert_params["layers"]]
+    return out
 
 
 def load_hf_weights(model_dir: str, cfg: Optional[BertConfig] = None) -> Dict:

@@ -237,9 +237,18 @@ def _bert_layer_spec(layer: dict, tp: bool) -> dict:
     spec = {}
     for name, sub in layer.items():
         if name in ("q", "k", "v", "ffn_in"):
-            spec[name] = {"kernel": P(None, MODEL_AXIS), "bias": P(MODEL_AXIS)}
+            if "kernel_q" in sub:   # int8 serving layout: per-column scale
+                spec[name] = {"kernel_q": P(None, MODEL_AXIS),
+                              "scale": P(MODEL_AXIS), "bias": P(MODEL_AXIS)}
+            else:
+                spec[name] = {"kernel": P(None, MODEL_AXIS),
+                              "bias": P(MODEL_AXIS)}
         elif name in ("attn_out", "ffn_out"):
-            spec[name] = {"kernel": P(MODEL_AXIS, None), "bias": P()}
+            if "kernel_q" in sub:   # row-parallel: output-col scale replicated
+                spec[name] = {"kernel_q": P(MODEL_AXIS, None),
+                              "scale": P(), "bias": P()}
+            else:
+                spec[name] = {"kernel": P(MODEL_AXIS, None), "bias": P()}
         elif name == "moe":
             # expert parallelism: stacked expert weights shard on their
             # leading E axis over the same 'model' devices (parallel/expert.py

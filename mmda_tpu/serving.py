@@ -121,6 +121,17 @@ class Predictor:
             bert_weights_dtype = (
                 "bfloat16" if (jax.default_backend() == "tpu"
                                and cfg.compute_dtype == "bfloat16") else None)
+        if (bert_weights_dtype == "int8" and isinstance(params, dict)
+                and "bert" in params):
+            # weight-only int8 for the encoder dense kernels (round 4):
+            # per-output-channel scales, dequant folded into one post-matmul
+            # multiply (models/bert.py::quantize_bert_int8) — halves the
+            # tower's weight HBM traffic vs bf16.  Accuracy bound pinned in
+            # tests/test_int8_serving.py.
+            from mmda_tpu.models.bert import quantize_bert_int8
+
+            params = dict(params, bert=quantize_bert_int8(params["bert"]))
+            bert_weights_dtype = None
         if bert_weights_dtype and isinstance(params, dict) and "bert" in params:
             wdt = jnp.dtype(bert_weights_dtype)
             params = dict(params, bert=jax.tree_util.tree_map(
