@@ -65,6 +65,7 @@ def main(argv=None):
         acoustic_size=split["acoustic"].shape[-1],
         max_batch=cfg.batch_size,
         tokenizer=tokenizer, word2id=word2id,
+        weights_dtype=cfg.export_weights_dtype,
     )
     print(f"exported {manifest['model']} -> {cfg.export_dir} "
           f"(buckets {manifest['bucket_sizes']}, max_batch "

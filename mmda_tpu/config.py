@@ -337,6 +337,11 @@ class Config:
                                   # measured ~5.9 ms dropout cost at B=64/T=48
                                   # (benchmarks/RESULTS.md round-3); False
                                   # restores float-draw torch-style dropout.
+    export_weights_dtype: Optional[str] = None  # cli/export: bake the BERT
+                                  # tower at this storage dtype — 'int8'
+                                  # (weight-only per-channel quantization,
+                                  # ~4x smaller artifact) or 'bfloat16';
+                                  # None keeps checkpoint dtypes
     fused_ln_dropout: bool = False  # route the BERT LN(x + dropout(h)) sites
                                   # through the fused Pallas kernel with
                                   # in-kernel mask drawing
@@ -488,7 +493,8 @@ def get_config(parse: bool = True, argv=None, **optional_kwargs) -> Config:
         kw = {}
     kw.update(optional_kwargs)
     # Normalize None-like strings coming from the CLI
-    for k in ("word_emb_path", "sdk_dir", "bert_model_dir", "profile_dir"):
+    for k in ("word_emb_path", "sdk_dir", "bert_model_dir", "profile_dir",
+              "export_weights_dtype"):
         if kw.get(k) in ("", "None", "none"):
             kw[k] = None
     if kw.get("apply_dataset_hp") and kw.get("data") in DATASET_HP:

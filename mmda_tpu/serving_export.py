@@ -48,6 +48,7 @@ def export_model(
     bucket_sizes: Optional[Sequence[int]] = None,
     tokenizer=None,
     word2id: Optional[Dict[str, int]] = None,
+    weights_dtype: Optional[str] = None,
 ) -> Dict:
     """Serialize the deterministic forward for every serving bucket.
     Returns the manifest dict (also written to out_dir/manifest.json).
@@ -66,6 +67,20 @@ def export_model(
     # checkpoints load as host numpy; the closure needs jax arrays (numpy
     # can't be indexed by tracers, e.g. the GloVe embed lookup)
     params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+    if weights_dtype == "int8" and isinstance(params, dict) and "bert" in params:
+        # weight-only int8 BERT kernels baked into the artifact: the
+        # serialized constants shrink ~4x vs f32 and the served forward
+        # reads int8 weights (models/bert.py::quantize_bert_int8)
+        from mmda_tpu.models.bert import quantize_bert_int8
+
+        params = dict(params, bert=quantize_bert_int8(params["bert"]))
+    elif weights_dtype and isinstance(params, dict) and "bert" in params:
+        wdt = jax.numpy.dtype(weights_dtype)
+        params = dict(params, bert=jax.tree_util.tree_map(
+            lambda x: (x.astype(wdt)
+                       if (hasattr(x, "ndim") and x.ndim >= 2
+                           and x.dtype == jax.numpy.float32) else x),
+            params["bert"]))
     _, forward_fn = get_model(cfg.model)
     dv = visual_size or cfg.visual_size
     da = acoustic_size or cfg.acoustic_size
@@ -111,6 +126,7 @@ def export_model(
         "bucket_sizes": list(buckets), "visual_size": dv,
         "acoustic_size": da, "use_bert": cfg.use_bert,
         "format": "jax.export/stablehlo",
+        "weights_dtype": weights_dtype,
     }
     if tokenizer is not None:
         with open(os.path.join(out_dir, "bert_vocab.json"), "w") as f:

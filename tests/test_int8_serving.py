@@ -109,3 +109,38 @@ def test_predictor_int8_composes_with_tp_mesh():
     got = sharded(reqs)
     np.testing.assert_allclose(got["scores"], want["scores"],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_int8_export_artifact(tmp_path):
+    """export_model(weights_dtype='int8') bakes quantized kernels into the
+    StableHLO artifact: smaller on disk than the f32 export, scores close,
+    manifest records the dtype."""
+    import os
+
+    from mmda_tpu.serving_export import ExportedPredictor, export_model
+
+    cfg, bert_cfg, params, reqs = _bert_serving_setup()
+    f32_dir, q_dir = tmp_path / "f32", tmp_path / "int8"
+    export_model(cfg, params, str(f32_dir), bert_cfg=bert_cfg, max_batch=8)
+    m = export_model(cfg, params, str(q_dir), bert_cfg=bert_cfg, max_batch=8,
+                     weights_dtype="int8")
+    assert m["weights_dtype"] == "int8"
+
+    def tree_size(d):
+        return sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+                   if f.endswith(".stablehlo"))
+
+    # at this test's tiny dims the BERT kernels are a small share of the
+    # artifact (MISA tower + program bytes dominate), so assert strictly
+    # smaller here and pin the 4x kernel-level shrink directly: at bert-base
+    # the kernels ARE the artifact and the ~4x carries through
+    assert tree_size(str(q_dir)) < tree_size(str(f32_dir))
+    ql = quantize_bert_int8(
+        {"layers": [{"q": {"kernel": jnp.zeros((768, 768)),
+                           "bias": jnp.zeros(768)}}]})["layers"][0]["q"]
+    assert ql["kernel_q"].nbytes * 4 == 768 * 768 * 4
+
+    want = ExportedPredictor(str(f32_dir))(reqs)
+    got = ExportedPredictor(str(q_dir))(reqs)
+    np.testing.assert_allclose(got["scores"], want["scores"],
+                               rtol=0.02, atol=0.005)
