@@ -68,6 +68,60 @@ def _pad_rows(arrays: Dict[str, np.ndarray], n: int) -> Dict[str, np.ndarray]:
     return out
 
 
+def auto_bucket_sizes(lengths, n_buckets: int = 3) -> tuple:
+    """Padding-OPTIMAL bucket boundaries for a length distribution
+    (`--bucket_sizes auto[,K]`, round 4).
+
+    Exact DP over the length histogram: a bucket with boundary u_j pads
+    every row it covers to u_j, so its token cost is u_j * count(rows in
+    bucket); minimize the total over K buckets.  U unique lengths ->
+    O(U^2 K), trivial at utterance scale.  The top boundary is always the
+    max length (nothing may overflow).  Returns a sorted tuple of K (or
+    fewer, if U < K) boundaries.
+
+    Static-shape discipline is preserved: K is fixed, so the compiled
+    program count is unchanged — only the boundaries move to where the
+    data actually is (the reference pads per-batch to the batch max,
+    src/data_loader.py:70-72, which would recompile under XLA every batch)."""
+    lengths = np.asarray(lengths)
+    uniq, counts = np.unique(lengths[lengths > 0], return_counts=True)
+    U = len(uniq)
+    k = min(int(n_buckets), U)
+    if U == 0:
+        raise ValueError("auto_bucket_sizes: no positive lengths")
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    # cost[i][j]: one bucket covering uniq[i..j] inclusive, padded to uniq[j]
+    INF = float("inf")
+    dp = np.full((k + 1, U + 1), INF)
+    arg = np.zeros((k + 1, U + 1), np.int64)
+    dp[0][0] = 0.0
+    for kk in range(1, k + 1):
+        for j in range(1, U + 1):
+            best, besti = INF, 0
+            for i in range(kk - 1, j):
+                c = dp[kk - 1][i] + float(uniq[j - 1]) * (csum[j] - csum[i])
+                if c < best:
+                    best, besti = c, i
+            dp[kk][j], arg[kk][j] = best, besti
+    bounds = []
+    j = U
+    for kk in range(k, 0, -1):
+        bounds.append(int(uniq[j - 1]))
+        j = arg[kk][j]
+    return tuple(sorted(set(bounds)))
+
+
+def padded_token_fraction(lengths, bucket_sizes) -> float:
+    """Fraction of padded (wasted) tokens under the given buckets — the
+    measurable the auto policy optimizes."""
+    lengths = np.asarray(lengths, np.int64)
+    b = np.sort(np.asarray(bucket_sizes, np.int64))
+    padded_to = b[np.minimum(np.searchsorted(b, lengths, side="left"),
+                             len(b) - 1)]
+    padded_to = np.maximum(padded_to, lengths)
+    return float(1.0 - lengths.sum() / padded_to.sum())
+
+
 class ArrayLoader:
     """Iterate fixed-shape `Batch`es over a dict-of-arrays split."""
 

@@ -85,6 +85,17 @@ class Trainer:
                 k: {**v, "emo_label": v["emo_label"][:, :1]}
                 for k, v in data.items()
             }
+        if cfg.bucket_sizes and str(cfg.bucket_sizes[0]) == "auto":
+            # --bucket_sizes auto[,K]: padding-optimal boundaries from the
+            # TRAIN length distribution (data/loader.py::auto_bucket_sizes);
+            # resolved once so the run config persists concrete buckets and
+            # serving sees the same shapes
+            from mmda_tpu.data.loader import auto_bucket_sizes
+
+            k = (int(cfg.bucket_sizes[1]) if len(cfg.bucket_sizes) > 1
+                 else 3)
+            cfg = cfg.replace(bucket_sizes=auto_bucket_sizes(
+                data["train"]["lengths"], k))
         self.cfg = cfg
         self.data = data
         self.bert_cfg = bert_cfg or (BertConfig.base() if cfg.use_bert else None)
