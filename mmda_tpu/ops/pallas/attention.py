@@ -38,6 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Per-row stats (lse, dsum) are stored as (BH, num_qb * _STAT_SUB, block_q)
+# with (1, _STAT_SUB, block_q) blocks: a (BH, num_qb, block_q) layout with
+# (1, 1, block_q) blocks only lowers when num_qb == 1 (the second-to-last
+# block dim must be divisible by 8 or equal to the array dim), which is why
+# the kernel compiled at S <= 256 but failed at S = 512/1024 — caught on
+# hardware, benchmarks/r4_tpu_logs/bench_long_seq.log.  Row 0 of each
+# 8-row group is the data; the rest is broadcast padding (~KBs of HBM).
+_STAT_SUB = 8
+
 
 def _keep_mask(shape, rate: float, seed, bh, row0, col0):
     """Counter-based dropout keep-mask over a (rows, cols) tile whose global
@@ -110,7 +119,8 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         acc = acc * alpha + jnp.dot(pd, v, preferred_element_type=jnp.float32)
         m = m_new
     o_ref[0] = acc / l
-    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = jnp.broadcast_to((m + jnp.log(l))[:, 0][None, :],
+                                  (_STAT_SUB, Bq))
 
 
 def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
@@ -152,7 +162,8 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     blocks.  Padded q rows carry do = 0, so they contribute nothing."""
     k = k_ref[0]                                       # (Bk, D)
     v = v_ref[0]
-    b = bias_ref[0, 0, :]                              # (Bk,)
+    b = bias_ref[0, 0, :]                              # (Bk,) — row 0 of the
+    # (1, _STAT_SUB, Bk) per-k-block bias group (see _flash_backward)
     Sq = q_ref.shape[1]
     bh = pl.program_id(0)
     kb = pl.program_id(1)
@@ -164,8 +175,8 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     for j in range(Sq // block_q):
         q = q_ref[0, pl.ds(j * block_q, block_q), :] * scale
         do = do_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, j, :][:, None]                # (Bq, 1)
-        dsum = dsum_ref[0, j, :][:, None]
+        lse = lse_ref[0, j * _STAT_SUB, :][:, None]    # (Bq, 1)
+        dsum = dsum_ref[0, j * _STAT_SUB, :][:, None]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b[None, :]
         p = jnp.exp(s - lse)
         if rate > 0.0:
@@ -201,7 +212,8 @@ def _pad_inputs(q, k, v, bias, block_q, block_k):
 def _flash_forward(q, k, v, bias, seed, rate: float,
                    block_q: int = 128, block_k: int = 128):
     """q,k,v: (BH, S, D) fp32; bias: (BH, S) additive key mask (0 or -inf-ish).
-    Returns ((BH, S, D) out, (BH, num_qb, block_q) lse over padded rows)."""
+    Returns ((BH, S, D) out, (BH, num_qb * _STAT_SUB, block_q) lse over
+    padded rows — row 8*i of the middle dim holds q-block i's stats)."""
     BH, S, D = q.shape
     block_q = min(block_q, S)
     block_k = min(block_k, S)
@@ -233,11 +245,12 @@ def _flash_forward(q, k, v, bias, seed, rate: float,
         out_specs=(
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, _STAT_SUB, block_q), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((BH, Sq, D), jnp.float32),
-                   jax.ShapeDtypeStruct((BH, num_qb, block_q), jnp.float32)),
+                   jax.ShapeDtypeStruct((BH, num_qb * _STAT_SUB, block_q),
+                                        jnp.float32)),
         interpret=_interpret(),
     )(seed, q, k, v, bias_blocks)
     return out[:, :S, :], lse
@@ -256,9 +269,13 @@ def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
     bias_blocks = bias.reshape(BH, num_kb, block_k)
 
     # D_i = rowsum(do * o): one cheap fused elementwise+reduce under XLA,
-    # blocked like lse for static in-kernel slicing
+    # laid out like lse ((BH, num_qb * _STAT_SUB, block_q), see _STAT_SUB)
     dsum = jnp.sum(do[:, :S, :] * o, axis=-1)
-    dsum = jnp.pad(dsum, ((0, 0), (0, Sq - S))).reshape(BH, num_qb, block_q)
+    dsum = jnp.pad(dsum, ((0, 0), (0, Sq - S)))
+    dsum = jnp.broadcast_to(
+        dsum.reshape(BH, num_qb, 1, block_q),
+        (BH, num_qb, _STAT_SUB, block_q),
+    ).reshape(BH, num_qb * _STAT_SUB, block_q)
 
     scale = 1.0 / np.sqrt(D)
     common = dict(block_k=block_k, block_q=block_q, scale=scale, rate=rate)
@@ -269,10 +286,11 @@ def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
                                  memory_space=pltpu.VMEM)
     qblk = lambda: pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),  # noqa: E731
                                 memory_space=pltpu.VMEM)
-    rows_all = lambda: pl.BlockSpec((1, num_qb, block_q),             # noqa: E731
+    rows_all = lambda: pl.BlockSpec((1, num_qb * _STAT_SUB, block_q),  # noqa: E731
                                     lambda b, i: (b, 0, 0),
                                     memory_space=pltpu.VMEM)
-    rows_blk = lambda: pl.BlockSpec((1, 1, block_q), lambda b, i: (b, i, 0),  # noqa: E731
+    rows_blk = lambda: pl.BlockSpec((1, _STAT_SUB, block_q),           # noqa: E731
+                                    lambda b, i: (b, i, 0),
                                     memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
@@ -287,6 +305,12 @@ def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
         interpret=_interpret(),
     )(seed, q, k, v, bias_blocks, do, lse, dsum)
 
+    # per-k-block bias for the dkv grid, sublane-8 padded like the stats
+    # (a (1, 1, block_k) block is tile-illegal whenever num_kb > 1)
+    bias8 = jnp.broadcast_to(
+        bias_blocks[:, :, None, :], (BH, num_kb, _STAT_SUB, block_k),
+    ).reshape(BH, num_kb * _STAT_SUB, block_k)
+
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
         grid=(BH, num_kb),
@@ -295,7 +319,7 @@ def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, block_k), lambda b, i: (b, i, 0),
+                  pl.BlockSpec((1, _STAT_SUB, block_k), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
                   full(), rows_all(), rows_all()],
         out_specs=(pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
@@ -304,7 +328,7 @@ def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((BH, Sk, D), jnp.float32),) * 2,
         interpret=_interpret(),
-    )(seed, q, k, v, bias_blocks, do, lse, dsum)
+    )(seed, q, k, v, bias8, do, lse, dsum)
 
     return dq[:, :S, :], dk[:, :S, :], dv[:, :S, :]
 

@@ -74,8 +74,13 @@ def _fwd_kernel(seed_ref, x_ref, y_ref, g_ref, b_ref, o_ref,
 def _bwd_kernel(seed_ref, x_ref, y_ref, g_ref, do_ref,
                 dx_ref, dy_ref, dg_ref, db_ref,
                 *, rate: float, eps: float, block_rows: int):
-    """Per block: recompute z/mu/rstd (and the mask), emit dx, dy and the
-    PARTIAL (1, H) dg/db sums — the caller reduces partials across blocks."""
+    """Per block: recompute z/mu/rstd (and the mask), emit dx, dy and
+    ACCUMULATE the (1, H) dg/db sums into a revisited output block (constant
+    index map; the TPU grid is sequential, so read-modify-write across grid
+    steps is the standard Pallas reduction pattern).  A (nb, H) partials
+    array with (1, H) blocks is NOT tile-legal on TPU (second-to-last block
+    dim must be divisible by 8 or equal to the array dim) — caught on
+    hardware, benchmarks/r4_tpu_logs/bench_fused_ln.log."""
     i = pl.program_id(0)
     x = x_ref[...].astype(jnp.float32)
     y = y_ref[...].astype(jnp.float32)
@@ -100,8 +105,14 @@ def _bwd_kernel(seed_ref, x_ref, y_ref, g_ref, do_ref,
     dz = rstd * (dzhat - m1 - zhat * m2)
     dx_ref[...] = dz.astype(dx_ref.dtype)
     dy_ref[...] = (dz * keep if keep is not None else dz).astype(dy_ref.dtype)
-    dg_ref[...] = jnp.sum(do * zhat, axis=0, keepdims=True)
-    db_ref[...] = jnp.sum(do, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros((1, H), jnp.float32)
+        db_ref[...] = jnp.zeros((1, H), jnp.float32)
+
+    dg_ref[...] += jnp.sum(do * zhat, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(do, axis=0, keepdims=True)
 
 
 def _pad_rows(a, n_pad):
@@ -137,22 +148,22 @@ def _bwd_call(seed, x, y, g, do, rate, eps):
     nb = xp.shape[0] // R
     row_blk = pl.BlockSpec((R, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    part = pl.BlockSpec((1, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    dx, dy, dg_p, db_p = pl.pallas_call(
+    acc = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dx, dy, dg, db = pl.pallas_call(
         functools.partial(_bwd_kernel, rate=rate, eps=eps, block_rows=R),
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   row_blk, row_blk, vec, row_blk],
-        out_specs=(row_blk, row_blk, part, part),
+        out_specs=(row_blk, row_blk, acc, acc),
         out_shape=(jax.ShapeDtypeStruct(xp.shape, x.dtype),
                    jax.ShapeDtypeStruct(yp.shape, y.dtype),
-                   jax.ShapeDtypeStruct((nb, H), jnp.float32),
-                   jax.ShapeDtypeStruct((nb, H), jnp.float32)),
+                   jax.ShapeDtypeStruct((1, H), jnp.float32),
+                   jax.ShapeDtypeStruct((1, H), jnp.float32)),
         interpret=_interpret(),
     )(seed, xp, yp, g.reshape(1, H), dop)
     return (dx[:N], dy[:N],
-            jnp.sum(dg_p, axis=0).astype(g.dtype),
-            jnp.sum(db_p, axis=0).astype(g.dtype))
+            dg[0].astype(g.dtype),
+            db[0].astype(g.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

@@ -1,0 +1,125 @@
+"""Cross-lower every Pallas kernel (fwd + bwd) for the TPU platform.
+
+Interpret-mode equivalence tests cannot catch Mosaic lowering errors — a
+block spec whose last two dims violate the (8, 128) tiling rule passes
+interpret and fails only when the kernel is first COMPILED for TPU.  That
+class of bug burned two hardware runs in round 4 (fused-LN bwd partials and
+the flash lse/bias layouts at num_blocks > 1, benchmarks/r4_tpu_logs/).
+
+`jax.export.export(..., platforms=["tpu"])` runs the full MLIR + Mosaic
+lowering pipeline on the CPU host with no TPU attached, so the tiling check
+(`pallas/mosaic/lowering.py::_check_block_mappings`) runs here, in CI.
+Shapes are chosen to exercise MULTI-block grids — single-block shapes are
+exactly the ones that hid these bugs.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from mmda_tpu.ops.pallas import attention as pattn
+from mmda_tpu.ops.pallas import layernorm as pln
+from mmda_tpu.ops.pallas import lstm as plstm
+from mmda_tpu.ops.pallas import lstm_multi as plstm_multi
+from mmda_tpu.ops.pallas import short_attention as psattn
+
+RNG = np.random.default_rng(17)
+
+
+@pytest.fixture(autouse=True)
+def _force_compile_path(monkeypatch):
+    """Make every kernel take the pallas_call compile path (not interpret).
+    lstm_multi binds `_interpret` by name at import, so patch it there too."""
+    for mod in (pattn, pln, plstm, plstm_multi, psattn):
+        monkeypatch.setattr(mod, "_interpret", lambda: False)
+
+
+def _lowers(fn, *args):
+    """Assert fn(*args) lowers for the tpu platform (trace + Mosaic only,
+    no execution)."""
+    jexport.export(jax.jit(fn), platforms=["tpu"])(*args)
+
+
+def _f32(*shape):
+    return jnp.asarray(RNG.normal(size=shape), jnp.float32)
+
+
+SEED = jnp.zeros((1,), jnp.int32)
+
+
+@pytest.mark.parametrize("S", [50, 512, 1024])
+def test_flash_attention_lowers(S):
+    BH, D = 8, 64
+    q, k, v = _f32(BH, S, D), _f32(BH, S, D), _f32(BH, S, D)
+    bias = jnp.zeros((BH, S), jnp.float32)
+
+    def fwd_bwd(q, k, v):
+        out, vjp = jax.vjp(
+            lambda q, k, v: pattn.flash_attention(q, k, v, bias, SEED, 0.1),
+            q, k, v)
+        return out, vjp(out)
+
+    _lowers(fwd_bwd, q, k, v)
+
+
+def test_short_attention_lowers_headline_shape():
+    B, nh, S, hd = 64, 12, 50, 64
+    q, k, v = _f32(B, nh, S, hd), _f32(B, nh, S, hd), _f32(B, nh, S, hd)
+    bias = jnp.zeros((B, S), jnp.float32)
+
+    def fwd_bwd(q, k, v):
+        out, vjp = jax.vjp(
+            lambda q, k, v: psattn.short_attention(q, k, v, bias, SEED, 0.1),
+            q, k, v)
+        return out, vjp(out)
+
+    _lowers(fwd_bwd, q, k, v)
+
+
+def test_fused_layernorm_lowers_headline_rows():
+    # B=64 x S=50 = 3200 rows -> 25 grid blocks at 128 rows/block: the
+    # multi-block dg/db reduction that failed on hardware.
+    N, H = 3200, 768
+    x, y = _f32(N, H), _f32(N, H)
+    g, b = _f32(H), _f32(H)
+
+    def fwd_bwd(x, y, g, b):
+        out, vjp = jax.vjp(
+            lambda x, y, g, b: pln.residual_dropout_layernorm(
+                x, y, g, b, SEED, 0.1),
+            x, y, g, b)
+        return out, vjp(out)
+
+    _lowers(fwd_bwd, x, y, g, b)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_scan_lowers(reverse):
+    T, B, H = 8, 16, 128
+    x_proj = _f32(T, B, 4 * H)
+    w_hh_t = _f32(H, 4 * H)
+    mask = jnp.ones((T, B, 1), jnp.float32)
+
+    def fwd_bwd(x_proj, w_hh_t):
+        def loss(x_proj, w_hh_t):
+            ys, h = plstm.lstm_scan(x_proj, w_hh_t, mask, reverse=reverse)
+            return jnp.sum(ys) + jnp.sum(h)
+        return jax.value_and_grad(loss, argnums=(0, 1))(x_proj, w_hh_t)
+
+    _lowers(fwd_bwd, x_proj, w_hh_t)
+
+
+def test_lstm_scan_multi_lowers():
+    D, T, B, HP = 2, 8, 16, 128
+    x_proj = _f32(D, T, B, 4 * HP)
+    w_hh_t = _f32(D, HP, 4 * HP)
+    mask = jnp.ones((D, T, B, 1), jnp.float32)
+
+    def fwd(x_proj, w_hh_t):
+        return plstm_multi.lstm_scan_multi(x_proj, w_hh_t, mask)
+
+    _lowers(fwd, x_proj, w_hh_t)
