@@ -3,8 +3,10 @@ long S' design claim with TPU measurements.
 
 RESULTS.md only ever measured the Pallas blockwise flash kernel at the MOSEI
 shape (S=50, rejected: +3.73 ms).  This bench measures the bert-base forward
-(deterministic — the kernel is a forward-only custom_vjp by design, its
-docstring says why) at growing sequence lengths, XLA attention vs flash.
+at growing sequence lengths, XLA attention vs flash; with BENCH_GRAD=1 it
+adds train-mode variants (fwd+bwd, dropout ON) that exercise the round-4
+blockwise backward + in-kernel dropout against XLA's materialized probs
+mask.
 
 Methodology: one lax.scan over n_steps distinct batches per variant, host
 readback of a scalar reduction per rep, median of reps (CLAUDE.md relay
@@ -36,7 +38,14 @@ def main():
 
     # isolation check BEFORE importing jax: the parent must never initialize
     # the backend (only one process can hold the axon TPU tunnel)
-    variants = [f"{S}:{impl}" for S in lengths for impl in ("xla", "flash")]
+    modes = ["fwd"]
+    if os.environ.get("BENCH_GRAD", "0") == "1":
+        # train mode: fwd+bwd with dropout ON — exercises the round-4
+        # blockwise backward and in-kernel dropout vs XLA's materialized
+        # (B*nh, S, S) probs mask at long S
+        modes.append("train")
+    variants = [f"{S}:{impl}:{mode}" for S in lengths
+                for impl in ("xla", "flash") for mode in modes]
     if run_variants_isolated(variants):
         return
     if current_variant():
@@ -58,20 +67,32 @@ def main():
     params = jbert.init_bert_params(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(params)
 
-    def measure(S, impl):
+    def measure(S, impl, mode):
         ids = jnp.asarray(
             rng.integers(0, cfg.vocab_size, size=(n_steps, B, S)), jnp.int32)
         mask = jnp.ones((n_steps, B, S), jnp.int32)
 
+        def fwd_sum(params, i, m, key):
+            h = jbert.bert_encode(params, cfg, i, m,
+                                  deterministic=(mode == "fwd"),
+                                  dropout_rng=key,
+                                  attn_impl=impl,
+                                  compute_dtype=jnp.bfloat16)
+            return jnp.sum(h.astype(jnp.float32))
+
         @jax.jit
         def run(params, ids, mask):
-            def body(_, xs):
+            def body(key, xs):
                 i, m = xs
-                h = jbert.bert_encode(params, cfg, i, m, deterministic=True,
-                                      attn_impl=impl,
-                                      compute_dtype=jnp.bfloat16)
-                return None, jnp.sum(h.astype(jnp.float32))
-            _, sums = jax.lax.scan(body, None, (ids, mask))
+                if mode == "train":
+                    key, sub = jax.random.split(key)
+                    s, grads = jax.value_and_grad(fwd_sum)(params, i, m, sub)
+                    s = s + sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                                for g in jax.tree_util.tree_leaves(grads))
+                else:
+                    s = fwd_sum(params, i, m, None)
+                return key, s
+            _, sums = jax.lax.scan(body, jax.random.PRNGKey(0), (ids, mask))
             return sums
 
         t0 = time.perf_counter()
@@ -84,14 +105,17 @@ def main():
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[len(times) // 2]
         print(json.dumps({
-            "S": S, "impl": impl, "B": B,
-            "ms_per_fwd": round(dt / n_steps * 1e3, 2),
+            "S": S, "impl": impl, "mode": mode, "B": B,
+            ("ms_per_fwd" if mode == "fwd" else "ms_per_fwd_bwd"):
+                round(dt / n_steps * 1e3, 2),
             "compile_s": round(compile_s, 1),
         }), flush=True)
 
     for v in variants:
-        S, impl = v.split(":")
-        measure(int(S), impl)
+        parts = v.split(":")
+        S, impl = parts[0], parts[1]
+        mode = parts[2] if len(parts) > 2 else "fwd"
+        measure(int(S), impl, mode)
 
 
 if __name__ == "__main__":

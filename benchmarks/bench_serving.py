@@ -144,7 +144,13 @@ def run_wdtype(cfg, params, bert_cfg, tok, rng):
     reqs = [_make_req(rng, cfg) for _ in range(B)]
     # int8 (round 4): weight-only per-channel quantized kernels — half of
     # bf16's weight reads; accuracy bound in tests/test_int8_serving.py
-    for dt in (None, "bfloat16", "int8"):
+    # BENCH_WDTYPE_ORDER=rev reverses the variant order: the first round-4
+    # run measured f32 (run first) fastest, which is inconsistent with an
+    # HBM-read-bound model — reversing decides ordering-artifact vs real.
+    dts = (None, "bfloat16", "int8")
+    if os.environ.get("BENCH_WDTYPE_ORDER", "") == "rev":
+        dts = tuple(reversed(dts))
+    for dt in dts:
         pred = Predictor(cfg, params=params, bert_cfg=bert_cfg, max_batch=B,
                          tokenizer=tok, word2id={}, bert_weights_dtype=dt)
         tag = f"w{dt or 'f32'}"
