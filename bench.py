@@ -60,6 +60,7 @@ def main():
         use_bert=True, batch_size=B, max_seq_len=T,
         compute_dtype="bfloat16", data="mosei", name="bench",
         attn_impl=os.environ.get("BENCH_ATTN", "xla"),
+        adam_mu_dtype=os.environ.get("BENCH_MU_DTYPE", "float32"),
     )
     bert_cfg = BertConfig.base()
     if os.environ.get("BENCH_FUSED_LN", "0") == "1":

@@ -323,12 +323,20 @@ class Config:
                                   # S<=66 plain XLA attention is faster (the
                                   # (S,S) logits fit in VMEM); wins at long S -
                                   # see benchmarks/RESULTS.md flash section.
-    attn_impl: str = "xla"        # BERT attention core: "xla" | "fused"
-                                  # (Pallas short-seq kernel, ops/pallas/
-                                  # short_attention.py) | "flash" (long-seq
-                                  # blockwise kernel).  Falls back to xla off
-                                  # TPU automatically (kernels interpret-run
-                                  # only in tests).
+    attn_impl: str = "auto"       # BERT attention core: "auto" | "xla" |
+                                  # "fused" (Pallas short-seq kernel,
+                                  # ops/pallas/short_attention.py) | "flash"
+                                  # (long-seq blockwise kernel with in-kernel
+                                  # dropout + O(S) backward).  "auto" picks
+                                  # from the measured v5e crossover
+                                  # (benchmarks/RESULTS.md long-seq tables):
+                                  # flash for TRAINING at S>=512 (-35% at 512,
+                                  # -50% at 1024 vs XLA's S^2 probs/mask
+                                  # traffic) and for inference at S>1024;
+                                  # XLA otherwise (wins the S=50 headline and
+                                  # fwd-only to S=1024, where it ties).
+                                  # Falls back to xla off TPU automatically
+                                  # (kernels interpret-run only in tests).
     fast_dropout: bool = True     # on TPU, run BERT dropout with uint8 draws
                                   # (keep-prob quantized to k/256, exactly
                                   # inverse-scaled => unbiased) and masks
@@ -349,6 +357,16 @@ class Config:
                                   # dropout draws (statistically equivalent,
                                   # not bit-identical).  Off until the TPU
                                   # A/B accepts it (round-4 experiment).
+    adam_mu_dtype: str = "float32"  # storage dtype for Adam/AdamW's FIRST
+                                  # moment (optax mu_dtype): 'bfloat16' halves
+                                  # its HBM traffic (part of the measured
+                                  # ~1.3 ms/step Adam-state term).  The second
+                                  # moment stays f32 on purpose: with b2=0.999
+                                  # its per-step increment (~1e-3 relative) is
+                                  # below bf16's ~4e-3 ulp, so a bf16 nu EMA
+                                  # simply stops accumulating.  m's b1=0.9
+                                  # increments (~0.1 relative) are safely
+                                  # above the ulp.
     fast_rng: bool = True         # on TPU, use the rbg hardware PRNG for
                                   # dropout masks instead of threefry
                                   # (measured -1.15 ms/fwd at B=64/T=48,
@@ -360,9 +378,28 @@ class Config:
                                   # NaN (TPU-native CUDA_LAUNCH_BLOCKING analog)
     disable_jit: bool = False     # op-by-op execution for debugging
 
-    def resolved_attn_impl(self) -> str:
+    def resolved_attn_impl(self, training: bool = False,
+                           seq_len: Optional[int] = None) -> str:
         """Effective BERT attention implementation; use_flash_attention is the
-        back-compat alias for attn_impl='flash'."""
+        back-compat alias for attn_impl='flash'.
+
+        attn_impl='auto' (the default) selects from the measured v5e
+        crossover (benchmarks/RESULTS.md long-seq tables): training is
+        bandwidth-bound on the S^2 attention-probs/mask tensors, which the
+        flash kernel never materializes — flash wins fwd+bwd at S=512
+        (39.25 vs 60.08 ms) and S=1024 (94.85 vs 188.59 ms) — while XLA's
+        fused attention wins short-S training (the S=50 headline) and
+        fwd-only inference through S=1024 (ties there).  `seq_len` defaults
+        to cfg.max_seq_len; model call sites pass the actual static token
+        length.
+        """
+        if self.attn_impl == "auto":
+            if self.use_flash_attention:
+                return "flash"
+            s = self.max_seq_len if seq_len is None else seq_len
+            if (training and s >= 512) or (not training and s > 1024):
+                return "flash"
+            return "xla"
         if self.attn_impl == "xla" and self.use_flash_attention:
             return "flash"
         return self.attn_impl
@@ -398,9 +435,9 @@ class Config:
             raise ValueError(f"bad missing_modality {self.missing_modality!r}")
         if self.task not in ("auto", "classification", "regression", "binary"):
             raise ValueError(f"bad task {self.task!r}")
-        if self.attn_impl not in ("xla", "fused", "flash"):
+        if self.attn_impl not in ("auto", "xla", "fused", "flash"):
             raise ValueError(
-                f"attn_impl must be xla|fused|flash, got {self.attn_impl!r}")
+                f"attn_impl must be auto|xla|fused|flash, got {self.attn_impl!r}")
         if self.mult_d % self.mult_heads != 0:
             raise ValueError(
                 f"mult_heads={self.mult_heads} must divide mult_d={self.mult_d}")
@@ -413,6 +450,8 @@ class Config:
             raise ValueError(f"bad ckpt_backend {self.ckpt_backend!r}")
         if self.lr_schedule not in ("none", "exponential", "plateau", "cosine"):
             raise ValueError(f"bad lr_schedule {self.lr_schedule!r}")
+        if self.adam_mu_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"bad adam_mu_dtype {self.adam_mu_dtype!r}")
 
     def __str__(self) -> str:
         # Pretty-print like the reference Config.__str__ (src/config.py:92-96)

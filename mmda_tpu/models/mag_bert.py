@@ -155,7 +155,9 @@ def mag_bert_forward(
     hidden = jbert.bert_encode(
         params["bert"], bert_cfg, batch.bert_ids, batch.bert_mask,
         batch.bert_type, deterministic=deterministic, dropout_rng=r_bert,
-        compute_dtype=compute_dtype, attn_impl=cfg.resolved_attn_impl(),
+        compute_dtype=compute_dtype,
+        attn_impl=cfg.resolved_attn_impl(
+            training=not deterministic, seq_len=batch.bert_ids.shape[1]),
         inject_layer=cfg.mag_inject_layer, inject_fn=inject,
     )
     moe_aux = None

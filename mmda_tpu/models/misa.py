@@ -228,7 +228,8 @@ def misa_forward(
             params["bert"], bert_cfg, batch.bert_ids, batch.bert_mask,
             batch.bert_type, deterministic=deterministic, dropout_rng=r_bert,
             compute_dtype=compute_dtype,
-            attn_impl=cfg.resolved_attn_impl(),
+            attn_impl=cfg.resolved_attn_impl(
+                training=not deterministic, seq_len=batch.bert_ids.shape[1]),
         )
         if bert_cfg.moe_experts > 0:
             hidden, moe_aux = hidden

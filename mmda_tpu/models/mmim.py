@@ -178,7 +178,9 @@ def mmim_forward(
         hidden = jbert.bert_encode(
             params["bert"], bert_cfg, batch.bert_ids, batch.bert_mask,
             batch.bert_type, deterministic=deterministic, dropout_rng=r_bert,
-            compute_dtype=compute_dtype, attn_impl=cfg.resolved_attn_impl())
+            compute_dtype=compute_dtype,
+            attn_impl=cfg.resolved_attn_impl(
+                training=not deterministic, seq_len=batch.bert_ids.shape[1]))
         if bert_cfg.moe_experts > 0:
             hidden, moe_aux = hidden
         utt_t = masked_mean(hidden.astype(jnp.float32), batch.bert_mask)

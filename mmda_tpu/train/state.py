@@ -60,9 +60,16 @@ def _base_optimizer(cfg: Config, steps_per_epoch: Optional[int] = None
             warmup_steps=cfg.warmup_steps, decay_steps=total,
             end_value=cfg.min_lr)
 
+    # cfg.adam_mu_dtype='bfloat16' stores the first moment in bf16 (optax
+    # mu_dtype): halves m's HBM read+write per step.  nu stays f32 — see the
+    # numerics note on the config knob (b2=0.999 increments underflow bf16's
+    # ulp and the EMA freezes).
+    mu_dtype = jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
     makers = {
-        "Adam": lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),
-        "AdamW": lambda lr: optax.adamw(lr, weight_decay=cfg.weight_decay),
+        "Adam": lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8,
+                                      mu_dtype=mu_dtype),
+        "AdamW": lambda lr: optax.adamw(lr, weight_decay=cfg.weight_decay,
+                                        mu_dtype=mu_dtype),
         # torch RMSprop defaults: alpha=0.99, eps=1e-8, no momentum/centering
         "RMSprop": lambda lr: optax.rmsprop(lr, decay=0.99, eps=1e-8),
         "SGD": lambda lr: optax.sgd(lr),

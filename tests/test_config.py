@@ -133,3 +133,41 @@ def test_config_json_roundtrip(tmp_path):
                             "--dropout", "0.5"])
     assert cfg3.dropout == 0.5
     assert cfg3.hidden_size == 16
+
+
+def test_attn_impl_auto_resolution():
+    """attn_impl='auto' (the default) selects flash only where it measured
+    faster on v5e (benchmarks/RESULTS.md long-seq tables): training at
+    S>=512, inference at S>1024; XLA everywhere else."""
+    from mmda_tpu.config import Config
+
+    cfg = Config()
+    assert cfg.attn_impl == "auto"
+    # headline shape: S=50 training stays on XLA's fused attention
+    assert cfg.resolved_attn_impl(training=True, seq_len=50) == "xla"
+    assert cfg.resolved_attn_impl(training=False, seq_len=50) == "xla"
+    # long-seq training: flash (39.25 vs 60.08 ms at 512)
+    assert cfg.resolved_attn_impl(training=True, seq_len=512) == "flash"
+    assert cfg.resolved_attn_impl(training=True, seq_len=1024) == "flash"
+    # inference: XLA through S=1024 (ties there), flash beyond
+    assert cfg.resolved_attn_impl(training=False, seq_len=1024) == "xla"
+    assert cfg.resolved_attn_impl(training=False, seq_len=2048) == "flash"
+    # seq_len defaults to max_seq_len
+    assert cfg.replace(max_seq_len=512).resolved_attn_impl(training=True) == "flash"
+    # explicit choices are never overridden
+    assert cfg.replace(attn_impl="xla").resolved_attn_impl(
+        training=True, seq_len=1024) == "xla"
+    assert cfg.replace(attn_impl="flash").resolved_attn_impl(
+        training=False, seq_len=50) == "flash"
+    # back-compat alias forces flash under auto too
+    assert cfg.replace(use_flash_attention=True).resolved_attn_impl(
+        training=False, seq_len=50) == "flash"
+
+
+def test_attn_impl_validation_includes_auto():
+    import pytest
+    from mmda_tpu.config import Config
+
+    with pytest.raises(ValueError):
+        Config(attn_impl="flashy")
+    Config(attn_impl="auto")  # accepted

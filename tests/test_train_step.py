@@ -176,3 +176,52 @@ def test_frozen_stop_gradient_prunes_but_preserves_updates():
         np.asarray(params["bert"]["layers"][0]["q"]["kernel"]))
     # grad_norm under pruning reflects trainable grads only (smaller or equal)
     assert float(l_p["grad_norm"]) <= float(l_m["grad_norm"]) + 1e-6
+
+
+def test_adam_mu_dtype_bf16_state_and_trajectory():
+    """cfg.adam_mu_dtype='bfloat16' stores Adam's first moment in bf16 (optax
+    mu_dtype) while nu stays f32 (b2=0.999 increments underflow bf16's ulp —
+    see the config knob's numerics note), and the short-horizon training
+    trajectory tracks the f32-mu run closely."""
+    import optax
+
+    def run(mu_dtype):
+        cfg = _cfg(adam_mu_dtype=mu_dtype)
+        init_fn, fwd_fn = get_model(cfg.model)
+        params = init_fn(jax.random.PRNGKey(0), cfg)
+        tx = make_optimizer(cfg)
+        state = create_train_state(cfg, params, jax.random.PRNGKey(1))
+        step = make_train_step(cfg, tx, fwd_fn, donate=False)
+        data = _data(cfg, n=32)
+        losses = []
+        for _ in range(3):
+            for batch in _batches(data, cfg.batch_size):
+                state, l = step(state, batch)
+                losses.append(float(l["total"]))
+        return state, losses
+
+    s_bf16, l_bf16 = run("bfloat16")
+    s_f32, l_f32 = run("float32")
+
+    # the mu tree holds bf16 leaves, nu stays f32
+    adam_states = [s for s in jax.tree_util.tree_leaves(
+        s_bf16.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_states, "no ScaleByAdamState found in opt_state"
+    for st in adam_states:
+        for mu in jax.tree_util.tree_leaves(st.mu):
+            assert mu.dtype == jnp.bfloat16, mu.dtype
+        for nu in jax.tree_util.tree_leaves(st.nu):
+            assert nu.dtype == jnp.float32, nu.dtype
+
+    # trajectory: same descent to within bf16 rounding accumulation
+    assert np.isfinite(l_bf16[-1])
+    assert abs(l_bf16[-1] - l_f32[-1]) < 0.05 * max(abs(l_f32[-1]), 1e-3), (
+        l_bf16[-1], l_f32[-1])
+
+
+def test_adam_mu_dtype_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _cfg(adam_mu_dtype="float16")
