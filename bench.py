@@ -55,7 +55,10 @@ def main():
     from mmda_tpu.train.state import create_train_state, make_optimizer
     from mmda_tpu.train.step import make_train_epoch, make_train_step
 
-    B, T = 64, 48
+    # BENCH_B/BENCH_T: shape overrides for long-seq A/Bs (defaults are the
+    # headline MOSEI shape; the driver always runs the default).
+    B = int(os.environ.get("BENCH_B", "64"))
+    T = int(os.environ.get("BENCH_T", "48"))
     cfg = Config(
         use_bert=True, batch_size=B, max_seq_len=T,
         compute_dtype="bfloat16", data="mosei", name="bench",

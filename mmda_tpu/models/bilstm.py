@@ -153,10 +153,15 @@ def _scan_direction(p, x, mask, cell: str, reverse: bool,
 
         use_pallas = pallas_flags.is_enabled()
     if use_pallas and cell == "lstm":
-        from mmda_tpu.ops.pallas.lstm import lstm_scan
+        from mmda_tpu.ops.pallas.lstm import fits_vmem, lstm_scan
 
-        ys, hT = lstm_scan(x_proj.astype(f32), w_hh_t, m, reverse)
-        return jnp.swapaxes(ys, 0, 1), hT
+        # The fused kernel holds full (T, BB, .) tensors in VMEM; long T
+        # blows the 16 MiB scoped limit (T=512 towers OOM'd at 40 MiB on
+        # v5e).  Off-budget shapes take the XLA scan below — correct at
+        # any T, and long-T towers are scan-bound anyway.
+        if fits_vmem(T, B, x_proj.shape[-1]):
+            ys, hT = lstm_scan(x_proj.astype(f32), w_hh_t, m, reverse)
+            return jnp.swapaxes(ys, 0, 1), hT
 
     h0 = jnp.zeros((B, H), f32)
 
@@ -316,7 +321,14 @@ def birnn(
         from mmda_tpu.ops import pallas as pallas_flags
 
         # the Pallas kernel path is LSTM-only; GRU must keep the fused scan
-        fused = not (pallas_flags.is_enabled() and cell == "lstm")
+        use_kernel = pallas_flags.is_enabled() and cell == "lstm"
+        if use_kernel:
+            # long-T shapes the kernel cannot hold in scoped VMEM go back
+            # to the fused-direction XLA scan (one scan, both directions)
+            from mmda_tpu.ops.pallas.lstm import fits_vmem
+
+            use_kernel = fits_vmem(T, B, 4 * params["fwd"]["w_hh"].shape[1])
+        fused = not use_kernel
     if fused:
         ys_f, ys_b, h_f, h_b = _birnn_fused(params, x, mask, cell)
     else:

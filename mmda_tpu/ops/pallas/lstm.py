@@ -22,6 +22,8 @@ Equivalence vs the XLA scan path is tested in tests/test_pallas_lstm.py
 from __future__ import annotations
 
 import functools
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -64,25 +66,73 @@ def _fwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
     c_fin_ref[:] = cT
 
 
-def _batch_block(B: int) -> int:
-    """Batch block size: B<=64 (the production batch) stays ONE block
-    (grid=1, bit-identical to the ungridded round-2 kernel, no pipeline
-    buffering).  Larger batches split into <=32-row blocks: with a grid,
-    Mosaic double-buffers every in/out block, so 64-row blocks still blew the
-    16M scoped-VMEM limit at B=128 (18.2M measured on v5e); 32-row blocks
-    halve the working set."""
-    if B <= 64:
-        return B
-    bb = 32
-    while B % bb:
-        bb -= 1
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+_VMEM_BUDGET = int(15.5 * 2**20)   # of the 16 MiB scoped-VMEM limit
+
+
+def _kernel_bytes(T: int, BB: int, G: int, n_blocks: int) -> int:
+    """Scoped-VMEM footprint estimate of one (T, BB, .) batch block:
+    f32 rows of lane-padded G (x_proj) + 2x lane-padded H (ys, cs) + a
+    128-lane mask row, resident for the whole T extent; gridded launches
+    (n_blocks > 1) double-buffer every blocked ref.
+
+    Calibrated against every observed compile (v5e, 16 MiB scoped limit):
+      - T=512/B=32/G=296 fwd: model 50.3M, compiler 40.11M -> OOM (reject ok)
+      - T=48/BB=64/G=512 bwd, grid=2: model 22.0M, measured 18.2M -> OOM
+      - T=48/BB=32/G=512 bwd, grid=4: model 11.0M -> runs (round-3 default)
+      - T=48/B=64/G=512 single block: model 11.0M -> runs (the headline)
+    The model overestimates by ~20-25%, which is the safety margin we want
+    from a gate that must never admit a faulting shape."""
+    H = G // 4
+    per_row = _pad128(G) + 2 * _pad128(H) + 128
+    b = 4 * T * max(BB, 8) * per_row
+    return b * 2 if n_blocks > 1 else b
+
+
+def _batch_block(B: int, T: int, G: int) -> Optional[int]:
+    """Largest batch block that fits scoped VMEM, or None if none does.
+
+    B<=64 at short T (the production shape) stays ONE block (grid=1,
+    bit-identical to the ungridded round-2 kernel, no pipeline buffering).
+    Larger batches cap at 32-row blocks (round-3 measurement: with a grid,
+    Mosaic double-buffers every in/out block, so 64-row blocks blew the
+    limit at B=128).  Long T shrinks the block further — the kernel holds
+    full (T, BB, .) tensors in VMEM, so its footprint is linear in T; when
+    even the smallest divisor block does not fit (e.g. T=512 towers),
+    return None and the caller falls back to the XLA scan."""
+    cap = B if B <= 64 else 32
+    for bb in range(cap, 0, -1):
+        if B % bb:
+            continue
+        if _kernel_bytes(T, bb, G, B // bb) <= _VMEM_BUDGET:
+            return bb
+    return None
+
+
+def fits_vmem(T: int, B: int, G: int) -> bool:
+    """True if the fused kernel can run this shape inside scoped VMEM.
+    bilstm._scan_direction consults this before routing to the Pallas path
+    (off-budget shapes take the XLA scan — correct at any T)."""
+    return _batch_block(B, T, G) is not None
+
+
+def _require_block(B: int, T: int, G: int) -> int:
+    bb = _batch_block(B, T, G)
+    if bb is None:
+        raise ValueError(
+            f"Pallas LSTM kernel cannot fit (T={T}, B={B}, G={G}) in scoped "
+            f"VMEM at any batch block; callers must gate on fits_vmem() and "
+            f"take the XLA scan path")
     return bb
 
 
 def _fwd_call(x_proj, w_hh_t, mask, reverse: bool):
     T, B, G = x_proj.shape
     H = G // 4
-    BB = _batch_block(B)
+    BB = _require_block(B, T, G)
     kernel = functools.partial(_fwd_kernel, reverse=reverse)
     return pl.pallas_call(
         kernel,
@@ -199,7 +249,7 @@ def _bwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
 def _bwd_call(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin, reverse: bool):
     T, B, G = x_proj.shape
     H = G // 4
-    BB = _batch_block(B)
+    BB = _require_block(B, T, G)
     kernel = functools.partial(_bwd_kernel, reverse=reverse)
 
     def bslice3(i):

@@ -132,9 +132,9 @@ def test_batch_blocked_grid_matches_xla_scan(B):
     mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
 
     orig = plstm._batch_block
-    plstm._batch_block = lambda n: 2        # -> grid of B//2 blocks
+    plstm._batch_block = lambda n, t, g: 2  # -> grid of B//2 blocks
     try:
-        assert plstm._batch_block(B) == 2
+        assert plstm._batch_block(B, T, 16) == 2
 
         def loss(p, x, use_pallas):
             ys, h = bilstm._scan_direction(p, x, mask, "lstm", False,
@@ -158,3 +158,45 @@ def test_batch_blocked_grid_matches_xla_scan(B):
                                        rtol=1e-4, atol=1e-4)
     finally:
         plstm._batch_block = orig
+
+
+def test_long_t_vmem_gate_and_fallback():
+    """Round-4: the kernel holds full (T, BB, .) tensors in VMEM, so long-T
+    shapes blow the 16 MiB scoped limit (T=512 towers faulted at 40 MiB on
+    v5e).  fits_vmem() gates the routing: production shapes keep the kernel,
+    off-budget shapes take the XLA scan — which must produce the same
+    numbers (it IS the reference path)."""
+    # gate decisions pinned against the measured compiles (lstm.py docstring)
+    assert plstm.fits_vmem(48, 64, 4 * 128)      # headline: single block
+    assert plstm.fits_vmem(48, 128, 4 * 128)     # B=128: 32-row blocks
+    assert plstm.fits_vmem(256, 64, 4 * 128)     # long-T: 8-row blocks
+    assert not plstm.fits_vmem(512, 16, 4 * 128)
+    assert not plstm.fits_vmem(512, 32, 4 * 74)  # the faulting retry4 shape
+
+    # routing: use_pallas=True at an off-budget shape falls back to XLA
+    B, T, F, H = 16, 512, 5, 128
+    params = bilstm.rnn_params(jax.random.PRNGKey(2), F, H, "lstm")
+    x = jnp.array(RNG.normal(size=(B, T, F)).astype(np.float32))
+    lengths = jnp.array(RNG.integers(1, T + 1, size=B))
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+    p = params["fwd"]
+    ys_k, h_k = bilstm._scan_direction(p, x, mask, "lstm", False, use_pallas=True)
+    ys_x, h_x = bilstm._scan_direction(p, x, mask, "lstm", False, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(ys_k), np.asarray(ys_x))
+    np.testing.assert_array_equal(np.asarray(h_k), np.asarray(h_x))
+
+
+def test_small_block_grid_matches_xla_scan():
+    """The new footprint-gated small-block geometry (BB=8 at T=256, grid>1)
+    must stay numerically equal to the XLA scan across block boundaries."""
+    B, T, F, H = 64, 256, 5, 128
+    assert plstm._batch_block(B, T, 4 * H) == 8
+    params = bilstm.rnn_params(jax.random.PRNGKey(3), F, H, "lstm")
+    x = jnp.array(RNG.normal(size=(B, T, F)).astype(np.float32))
+    lengths = jnp.array(RNG.integers(1, T + 1, size=B))
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+    p = params["fwd"]
+    ys_p, h_p = bilstm._scan_direction(p, x, mask, "lstm", False, use_pallas=True)
+    ys_x, h_x = bilstm._scan_direction(p, x, mask, "lstm", False, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), rtol=1e-5, atol=1e-5)

@@ -123,3 +123,25 @@ def test_lstm_scan_multi_lowers():
         return plstm_multi.lstm_scan_multi(x_proj, w_hh_t, mask)
 
     _lowers(fwd, x_proj, w_hh_t)
+
+
+@pytest.mark.parametrize("T,B", [(128, 64), (256, 64)])
+def test_lstm_scan_lowers_long_t_small_blocks(T, B):
+    """Round-4 footprint gate (_batch_block(B, T, G)) shrinks batch blocks
+    as T grows (the kernel holds full (T, BB, .) tensors in VMEM) — these
+    are the NEW 16/8-row multi-block geometries it can emit; they must pass
+    full Mosaic lowering before any TPU time is queued on them."""
+    H = 128
+    bb = plstm._batch_block(B, T, 4 * H)
+    assert bb in (8, 16) and B // bb > 1, (bb, "expected a new small-block grid")
+    x_proj = _f32(T, B, 4 * H)
+    w_hh_t = _f32(H, 4 * H)
+    mask = jnp.ones((T, B, 1), jnp.float32)
+
+    def fwd_bwd(x_proj, w_hh_t):
+        def loss(x_proj, w_hh_t):
+            ys, h = plstm.lstm_scan(x_proj, w_hh_t, mask, reverse=False)
+            return jnp.sum(ys) + jnp.sum(h)
+        return jax.value_and_grad(loss, argnums=(0, 1))(x_proj, w_hh_t)
+
+    _lowers(fwd_bwd, x_proj, w_hh_t)
