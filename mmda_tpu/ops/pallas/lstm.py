@@ -79,15 +79,20 @@ def _kernel_bytes(T: int, BB: int, G: int, n_blocks: int) -> int:
     128-lane mask row, resident for the whole T extent; gridded launches
     (n_blocks > 1) double-buffer every blocked ref.
 
-    Calibrated against every observed compile (v5e, 16 MiB scoped limit):
-      - T=512/B=32/G=296 fwd: model 50.3M, compiler 40.11M -> OOM (reject ok)
-      - T=48/BB=64/G=512 bwd, grid=2: model 22.0M, measured 18.2M -> OOM
-      - T=48/BB=32/G=512 bwd, grid=4: model 11.0M -> runs (round-3 default)
-      - T=48/B=64/G=512 single block: model 11.0M -> runs (the headline)
-    The model overestimates by ~20-25%, which is the safety margin we want
-    from a gate that must never admit a faulting shape."""
+    The BACKWARD is the binding kernel (x_proj + dx rows at lane-padded G;
+    ys/cs/dys at lane-padded H).  Calibrated against the observed compiles
+    (v5e, 16 MiB scoped limit; MISA tower hidden == modality input size, so
+    the headline towers are H=74/G=296 and H=35/G=140 — misa.py:127):
+      - T=256/BB=8/G=296 bwd, grid=8: model 21.0M, compiler 20.12M -> OOM
+        (the retry5 bench_t256 fault; the reject is correct)
+      - T=48/B=64/G=296 single block: model 15.0M -> runs (the headline,
+        just under the limit — consistent with it never having faulted)
+      - T=48/BB=32/G=296 bwd, grid=4 (B=128): model 15.0M -> runs
+        (round-3 adopted geometry)
+      - T=512/B=32/G=296 fwd: fwd-only resident set (G + 2H + mask) gives
+        40.3M vs the compiler's 40.11M; the bwd model rejects it harder."""
     H = G // 4
-    per_row = _pad128(G) + 2 * _pad128(H) + 128
+    per_row = 2 * _pad128(G) + 3 * _pad128(H) + 128
     b = 4 * T * max(BB, 8) * per_row
     return b * 2 if n_blocks > 1 else b
 

@@ -167,9 +167,12 @@ def test_long_t_vmem_gate_and_fallback():
     off-budget shapes take the XLA scan — which must produce the same
     numbers (it IS the reference path)."""
     # gate decisions pinned against the measured compiles (lstm.py docstring)
-    assert plstm.fits_vmem(48, 64, 4 * 128)      # headline: single block
-    assert plstm.fits_vmem(48, 128, 4 * 128)     # B=128: 32-row blocks
-    assert plstm.fits_vmem(256, 64, 4 * 128)     # long-T: 8-row blocks
+    assert plstm.fits_vmem(48, 64, 4 * 74)       # headline towers: one block
+    assert plstm.fits_vmem(48, 64, 4 * 35)
+    assert plstm.fits_vmem(48, 128, 4 * 74)      # B=128: 32-row blocks
+    assert plstm.fits_vmem(128, 64, 4 * 128)     # mid-T: 8-row blocks
+    assert not plstm.fits_vmem(256, 64, 4 * 74)  # the faulting retry5 shape
+                                                 # (bwd 20.12M at BB=8)
     assert not plstm.fits_vmem(512, 16, 4 * 128)
     assert not plstm.fits_vmem(512, 32, 4 * 74)  # the faulting retry4 shape
 
@@ -187,9 +190,9 @@ def test_long_t_vmem_gate_and_fallback():
 
 
 def test_small_block_grid_matches_xla_scan():
-    """The new footprint-gated small-block geometry (BB=8 at T=256, grid>1)
+    """The new footprint-gated small-block geometry (BB=8 at T=128, grid>1)
     must stay numerically equal to the XLA scan across block boundaries."""
-    B, T, F, H = 64, 256, 5, 128
+    B, T, F, H = 64, 128, 5, 128
     assert plstm._batch_block(B, T, 4 * H) == 8
     params = bilstm.rnn_params(jax.random.PRNGKey(3), F, H, "lstm")
     x = jnp.array(RNG.normal(size=(B, T, F)).astype(np.float32))

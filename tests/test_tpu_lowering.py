@@ -125,7 +125,7 @@ def test_lstm_scan_multi_lowers():
     _lowers(fwd, x_proj, w_hh_t)
 
 
-@pytest.mark.parametrize("T,B", [(128, 64), (256, 64)])
+@pytest.mark.parametrize("T,B", [(64, 64), (128, 64)])
 def test_lstm_scan_lowers_long_t_small_blocks(T, B):
     """Round-4 footprint gate (_batch_block(B, T, G)) shrinks batch blocks
     as T grows (the kernel holds full (T, BB, .) tensors in VMEM) — these
