@@ -160,68 +160,78 @@ class Trainer:
         # mesh).  cli/train calls close() after the run; tests may use the
         # Trainer as a context manager.
         self._hook_uninstallers = []
-        if cfg.pp_size > 1:
-            # pipeline parallelism: ('data','pipe') mesh, BERT layers staged
-            # over 'pipe' (parallel/pipeline.py), installed process-globally
-            # via the encode-override hook so the model forward is untouched
-            from mmda_tpu.parallel import pipeline as ppipe
-
-            if not cfg.use_bert:
-                raise ValueError("pp_size > 1 pipelines the BERT tower; "
-                                 "use_bert=False has no pipelined stage")
-            if cfg.tp_size > 1:
-                raise ValueError("pp_size and tp_size are mutually exclusive "
-                                 "(dp x pp or dp x tp meshes)")
-            n = len(jax.devices())
-            dp = cfg.dp_size if cfg.dp_size > 0 else max(n // cfg.pp_size, 1)
-            micro = cfg.pp_microbatches or cfg.pp_size
-            if cfg.batch_size % micro:
-                raise ValueError(
-                    f"pp_microbatches={micro} must divide "
-                    f"batch_size={cfg.batch_size}")
-            self.mesh = ppipe.make_pipe_mesh(pp=cfg.pp_size, dp=dp)
-            ppipe.install_pipeline_encoder(self.mesh, micro)
-            self._hook_uninstallers.append(ppipe.uninstall_pipeline_encoder)
-        elif use_mesh and (len(jax.devices()) > 1 or cfg.tp_size > 1):
-            self.mesh = pmesh.make_mesh(dp=cfg.dp_size, tp=cfg.tp_size)
-            if cfg.sp:
-                # sequence parallelism rides on TP: residual-stream S axis
-                # sharded over the same 'model' devices (parallel/sequence.py)
-                from mmda_tpu.parallel import sequence as psq
-
-                if cfg.tp_size <= 1:
-                    raise ValueError("sp=True needs tp_size > 1 (S is "
-                                     "sharded over the TP 'model' axis)")
-                psq.install_sequence_sharding(self.mesh)
-                self._hook_uninstallers.append(psq.uninstall_sequence_sharding)
-            if cfg.moe_experts > 0 and cfg.tp_size > 1:
-                # expert parallelism over the same 'model' devices
-                from mmda_tpu.parallel import expert as pexp
-
-                pexp.install_expert_sharding(self.mesh)
-                self._hook_uninstallers.append(pexp.uninstall_expert_sharding)
-        elif cfg.sp:
-            raise ValueError("sp=True needs a mesh with a 'model' axis "
-                             "(tp_size > 1)")
-        if cfg.fsdp:
-            # validated-error coverage, same stance as MoE x PP below
+        # Any failure below (validated-error raises, _build) must
+        # uninstall already-installed process-global hooks — an
+        # aborted constructor otherwise leaks a pipelined/sharded
+        # bert_encode into every later model call in the process
+        # (round-4 full-suite failure: test_fsdp's pp_size=2
+        # validated-error left the pipeline hook installed).
+        try:
             if cfg.pp_size > 1:
-                raise ValueError(
-                    "fsdp does not compose with pp_size>1: the pipeline "
-                    "stage-stacks BERT layer params over 'pipe' "
-                    "(parallel/pipeline.py), which conflicts with FSDP's "
-                    "per-leaf 'data' sharding")
-            if self.mesh is None or pmesh.DATA_AXIS not in self.mesh.axis_names:
-                raise ValueError(
-                    "fsdp=True needs a mesh with a 'data' axis (>1 device, "
-                    "or explicit dp_size); a 1-device FSDP run would shard "
-                    "nothing while paying the layout constraints")
+                # pipeline parallelism: ('data','pipe') mesh, BERT layers staged
+                # over 'pipe' (parallel/pipeline.py), installed process-globally
+                # via the encode-override hook so the model forward is untouched
+                from mmda_tpu.parallel import pipeline as ppipe
 
-        from mmda_tpu.ops import pallas as pallas_flags
+                if not cfg.use_bert:
+                    raise ValueError("pp_size > 1 pipelines the BERT tower; "
+                                     "use_bert=False has no pipelined stage")
+                if cfg.tp_size > 1:
+                    raise ValueError("pp_size and tp_size are mutually exclusive "
+                                     "(dp x pp or dp x tp meshes)")
+                n = len(jax.devices())
+                dp = cfg.dp_size if cfg.dp_size > 0 else max(n // cfg.pp_size, 1)
+                micro = cfg.pp_microbatches or cfg.pp_size
+                if cfg.batch_size % micro:
+                    raise ValueError(
+                        f"pp_microbatches={micro} must divide "
+                        f"batch_size={cfg.batch_size}")
+                self.mesh = ppipe.make_pipe_mesh(pp=cfg.pp_size, dp=dp)
+                ppipe.install_pipeline_encoder(self.mesh, micro)
+                self._hook_uninstallers.append(ppipe.uninstall_pipeline_encoder)
+            elif use_mesh and (len(jax.devices()) > 1 or cfg.tp_size > 1):
+                self.mesh = pmesh.make_mesh(dp=cfg.dp_size, tp=cfg.tp_size)
+                if cfg.sp:
+                    # sequence parallelism rides on TP: residual-stream S axis
+                    # sharded over the same 'model' devices (parallel/sequence.py)
+                    from mmda_tpu.parallel import sequence as psq
 
-        pallas_flags.set_enabled(cfg.use_pallas and jax.default_backend() == "tpu")
+                    if cfg.tp_size <= 1:
+                        raise ValueError("sp=True needs tp_size > 1 (S is "
+                                         "sharded over the TP 'model' axis)")
+                    psq.install_sequence_sharding(self.mesh)
+                    self._hook_uninstallers.append(psq.uninstall_sequence_sharding)
+                if cfg.moe_experts > 0 and cfg.tp_size > 1:
+                    # expert parallelism over the same 'model' devices
+                    from mmda_tpu.parallel import expert as pexp
 
-        self._build()
+                    pexp.install_expert_sharding(self.mesh)
+                    self._hook_uninstallers.append(pexp.uninstall_expert_sharding)
+            elif cfg.sp:
+                raise ValueError("sp=True needs a mesh with a 'model' axis "
+                                 "(tp_size > 1)")
+            if cfg.fsdp:
+                # validated-error coverage, same stance as MoE x PP below
+                if cfg.pp_size > 1:
+                    raise ValueError(
+                        "fsdp does not compose with pp_size>1: the pipeline "
+                        "stage-stacks BERT layer params over 'pipe' "
+                        "(parallel/pipeline.py), which conflicts with FSDP's "
+                        "per-leaf 'data' sharding")
+                if self.mesh is None or pmesh.DATA_AXIS not in self.mesh.axis_names:
+                    raise ValueError(
+                        "fsdp=True needs a mesh with a 'data' axis (>1 device, "
+                        "or explicit dp_size); a 1-device FSDP run would shard "
+                        "nothing while paying the layout constraints")
+
+            from mmda_tpu.ops import pallas as pallas_flags
+
+            pallas_flags.set_enabled(cfg.use_pallas and jax.default_backend() == "tpu")
+
+            self._build()
+        except BaseException:
+            self.close()
+            raise
 
     # ------------------------------------------------------------------
     def _build(self) -> None:

@@ -221,3 +221,29 @@ def test_fsdp_hlo_inserts_weight_allgathers():
     assert h_f["all-gather"] >= 10, dict(h_f)
     # DP's gradient reduction is present in both layouts
     assert h_rep["all-reduce"] > 0 and h_f["all-reduce"] > 0
+
+
+def test_aborted_trainer_constructor_uninstalls_hooks(tmp_path):
+    """Round-4 full-suite failure: the fsdp x pp validated error fires AFTER
+    Trainer.__init__ installs the pipeline encode-override hook; an aborted
+    constructor must uninstall it, or every later bert_encode in the process
+    routes through a pipelined path bound to a dead mesh."""
+    from mmda_tpu.data import make_dataset
+    from mmda_tpu.models import bert as jbert
+    from mmda_tpu.train.loop import Trainer
+
+    data = make_dataset(num_train=32, num_dev=16, num_test=16, max_len=8,
+                        visual_size=5, acoustic_size=6, vocab_size=64,
+                        bert_vocab_size=64)
+    bert_cfg = BertConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                          num_heads=2, intermediate_size=64,
+                          max_position_embeddings=64)
+    cfg = Config(name="abort", use_bert=True, batch_size=16,
+                 compute_dtype="float32", hidden_size=16, visual_size=5,
+                 acoustic_size=6, vocab_size=64, embedding_size=8,
+                 num_classes=6, n_epoch=1, bucket_sizes=(8,),
+                 ckpt_dir=str(tmp_path), log_sinks=(), fsdp=True, pp_size=2)
+    with pytest.raises(ValueError, match="fsdp does not compose"):
+        Trainer(cfg, data, bert_cfg=bert_cfg)
+    assert jbert._ENCODE_OVERRIDE is None, (
+        "aborted constructor leaked the pipeline encode-override hook")
