@@ -160,6 +160,7 @@ def test_batch_blocked_grid_matches_xla_scan(B):
         plstm._batch_block = orig
 
 
+@pytest.mark.slow
 def test_long_t_vmem_gate_and_fallback():
     """Round-4: the kernel holds full (T, BB, .) tensors in VMEM, so long-T
     shapes blow the 16 MiB scoped limit (T=512 towers faulted at 40 MiB on
@@ -189,6 +190,7 @@ def test_long_t_vmem_gate_and_fallback():
     np.testing.assert_array_equal(np.asarray(h_k), np.asarray(h_x))
 
 
+@pytest.mark.slow
 def test_small_block_grid_matches_xla_scan():
     """The new footprint-gated small-block geometry (BB=8 at T=128, grid>1)
     must stay numerically equal to the XLA scan across block boundaries."""

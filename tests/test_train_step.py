@@ -2,6 +2,7 @@
 parity bits (clip, freezing); DP grad equivalence on the faked 8-device mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -178,6 +179,7 @@ def test_frozen_stop_gradient_prunes_but_preserves_updates():
     assert float(l_p["grad_norm"]) <= float(l_m["grad_norm"]) + 1e-6
 
 
+@pytest.mark.slow
 def test_adam_mu_dtype_bf16_state_and_trajectory():
     """cfg.adam_mu_dtype='bfloat16' stores Adam's first moment in bf16 (optax
     mu_dtype) while nu stays f32 (b2=0.999 increments underflow bf16's ulp —
