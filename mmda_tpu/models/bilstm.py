@@ -162,6 +162,14 @@ def _scan_direction(p, x, mask, cell: str, reverse: bool,
         if fits_vmem(T, B, x_proj.shape[-1]):
             ys, hT = lstm_scan(x_proj.astype(f32), w_hh_t, m, reverse)
             return jnp.swapaxes(ys, 0, 1), hT
+    if use_pallas and cell == "gru":
+        from mmda_tpu.ops.pallas.gru import fits_vmem as gru_fits
+        from mmda_tpu.ops.pallas.gru import gru_scan
+
+        if gru_fits(T, B, x_proj.shape[-1]):
+            ys, hT = gru_scan(x_proj.astype(f32), w_hh_t,
+                              p["b_hh"].astype(f32)[None, :], m, reverse)
+            return jnp.swapaxes(ys, 0, 1), hT
 
     h0 = jnp.zeros((B, H), f32)
 
@@ -320,14 +328,18 @@ def birnn(
     if fused is None:
         from mmda_tpu.ops import pallas as pallas_flags
 
-        # the Pallas kernel path is LSTM-only; GRU must keep the fused scan
-        use_kernel = pallas_flags.is_enabled() and cell == "lstm"
+        use_kernel = pallas_flags.is_enabled()
         if use_kernel:
             # long-T shapes the kernel cannot hold in scoped VMEM go back
             # to the fused-direction XLA scan (one scan, both directions)
-            from mmda_tpu.ops.pallas.lstm import fits_vmem
+            if cell == "lstm":
+                from mmda_tpu.ops.pallas.lstm import fits_vmem
 
-            use_kernel = fits_vmem(T, B, 4 * params["fwd"]["w_hh"].shape[1])
+                use_kernel = fits_vmem(T, B, 4 * params["fwd"]["w_hh"].shape[1])
+            else:
+                from mmda_tpu.ops.pallas.gru import fits_vmem as gru_fits
+
+                use_kernel = gru_fits(T, B, 3 * params["fwd"]["w_hh"].shape[1])
         fused = not use_kernel
     if fused:
         ys_f, ys_b, h_f, h_b = _birnn_fused(params, x, mask, cell)

@@ -1,0 +1,131 @@
+"""Pallas fused-GRU kernel equivalence vs the XLA scan path (interpret mode
+on CPU; compiled on real TPU by benchmarks/bench_towers.py --cell gru).
+
+Mirrors tests/test_pallas_lstm.py; the interpret switch is shared with the
+LSTM module (gru.py reads lstm._FORCE_INTERPRET via the imported helper).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mmda_tpu.models import bilstm
+from mmda_tpu.ops.pallas import gru as pgru
+from mmda_tpu.ops.pallas import lstm as plstm
+
+RNG = np.random.default_rng(13)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    plstm.set_force_interpret(True)
+    yield
+    plstm.set_force_interpret(False)
+
+
+def _setup(B=4, T=6, F=5, H=4):
+    params = bilstm.rnn_params(jax.random.PRNGKey(0), F, H, "gru")
+    x = jnp.array(RNG.normal(size=(B, T, F)).astype(np.float32))
+    lengths = jnp.array([T, 2, 4, 1][:B])
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+    return params, x, lengths, mask
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_forward_matches_xla_scan(reverse):
+    params, x, lengths, mask = _setup()
+    p = params["fwd"]
+    ys_x, h_x = bilstm._scan_direction(p, x, mask, "gru", reverse, use_pallas=False)
+    ys_p, h_p = bilstm._scan_direction(p, x, mask, "gru", reverse, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gradients_match_xla_scan(reverse):
+    params, x, lengths, mask = _setup()
+    p = params["fwd"]
+
+    def loss(p, x, use_pallas):
+        ys, h = bilstm._scan_direction(p, x, mask, "gru", reverse, use_pallas=use_pallas)
+        # weight outputs so both ys and final-state gradients are exercised
+        return jnp.sum(ys ** 2) + 3.0 * jnp.sum(h * jnp.arange(h.size).reshape(h.shape))
+
+    gx = jax.grad(loss, argnums=(0, 1))(p, x, False)
+    gp = jax.grad(loss, argnums=(0, 1))(p, x, True)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
+
+
+def test_full_birnn_with_pallas_matches():
+    params, x, lengths, mask = _setup()
+
+    from mmda_tpu.ops import pallas as flags
+
+    ys_x, h_x = bilstm.birnn(params, x, lengths, "gru")
+    flags.set_enabled(True)
+    try:
+        ys_p, h_p = bilstm.birnn(params, x, lengths, "gru")
+    finally:
+        flags.set_enabled(False)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x), rtol=1e-5, atol=1e-5)
+
+
+def test_batch_blocked_grid_matches_xla_scan():
+    """Force a multi-block grid (the sequential-grid dw/db accumulation and
+    the cross-block dh carry) and pin fwd+grad equivalence."""
+    params = bilstm.rnn_params(jax.random.PRNGKey(1), 5, 4, "gru")
+    p = params["fwd"]
+    B, T = 6, 6
+    x = jnp.array(RNG.normal(size=(B, T, 5)).astype(np.float32))
+    lengths = jnp.array([T, 2, 4, 1, 3, 6])
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    orig = pgru._batch_block
+    pgru._batch_block = lambda n, t, g: 2  # -> grid of B//2 blocks
+    try:
+        def loss(p, x, use_pallas):
+            ys, h = bilstm._scan_direction(p, x, mask, "gru", False,
+                                           use_pallas=use_pallas)
+            return jnp.sum(ys ** 2) + 3.0 * jnp.sum(
+                h * jnp.arange(h.size).reshape(h.shape))
+
+        ys_x, h_x = bilstm._scan_direction(p, x, mask, "gru", False,
+                                           use_pallas=False)
+        ys_p, h_p = bilstm._scan_direction(p, x, mask, "gru", False,
+                                           use_pallas=True)
+        np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x),
+                                   rtol=1e-5, atol=1e-5)
+        gx = jax.grad(loss, argnums=(0, 1))(p, x, False)
+        gp = jax.grad(loss, argnums=(0, 1))(p, x, True)
+        for a, b in zip(jax.tree_util.tree_leaves(gx),
+                        jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        pgru._batch_block = orig
+
+
+def test_vmem_gate_and_fallback():
+    """Off-budget long-T shapes must route back to the XLA scan (same
+    footprint-gate contract as the LSTM kernel; both historical LSTM faults
+    are re-checked here at the GRU G=3H geometry)."""
+    assert pgru.fits_vmem(48, 64, 3 * 74)        # headline-tower geometry
+    assert not pgru.fits_vmem(512, 32, 3 * 296)  # long-T big-H: cannot fit
+
+    B, T, F, H = 8, 512, 5, 128
+    params = bilstm.rnn_params(jax.random.PRNGKey(2), F, H, "gru")
+    x = jnp.array(RNG.normal(size=(B, T, F)).astype(np.float32))
+    lengths = jnp.array(RNG.integers(1, T + 1, size=B))
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+    p = params["fwd"]
+    if pgru.fits_vmem(T, B, 3 * H):
+        pytest.skip("shape unexpectedly fits; gate test needs an off-budget shape")
+    ys_k, h_k = bilstm._scan_direction(p, x, mask, "gru", False, use_pallas=True)
+    ys_x, h_x = bilstm._scan_direction(p, x, mask, "gru", False, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(ys_k), np.asarray(ys_x))
+    np.testing.assert_array_equal(np.asarray(h_k), np.asarray(h_x))

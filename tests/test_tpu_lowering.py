@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 from mmda_tpu.ops.pallas import attention as pattn
+from mmda_tpu.ops.pallas import gru as pgru
 from mmda_tpu.ops.pallas import layernorm as pln
 from mmda_tpu.ops.pallas import lstm as plstm
 from mmda_tpu.ops.pallas import lstm_multi as plstm_multi
@@ -33,8 +34,8 @@ RNG = np.random.default_rng(17)
 @pytest.fixture(autouse=True)
 def _force_compile_path(monkeypatch):
     """Make every kernel take the pallas_call compile path (not interpret).
-    lstm_multi binds `_interpret` by name at import, so patch it there too."""
-    for mod in (pattn, pln, plstm, plstm_multi, psattn):
+    lstm_multi/gru bind `_interpret` by name at import, so patch them too."""
+    for mod in (pattn, pgru, pln, plstm, plstm_multi, psattn):
         monkeypatch.setattr(mod, "_interpret", lambda: False)
 
 
@@ -123,6 +124,45 @@ def test_lstm_scan_multi_lowers():
         return plstm_multi.lstm_scan_multi(x_proj, w_hh_t, mask)
 
     _lowers(fwd, x_proj, w_hh_t)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_scan_lowers(reverse):
+    # single-block geometry (the headline-tower analog)
+    T, B, H = 8, 16, 128
+    x_proj = _f32(T, B, 3 * H)
+    w_hh_t = _f32(H, 3 * H)
+    b_hh = _f32(1, 3 * H)
+    mask = jnp.ones((T, B, 1), jnp.float32)
+
+    def fwd_bwd(x_proj, w_hh_t, b_hh):
+        def loss(x_proj, w_hh_t, b_hh):
+            ys, h = pgru.gru_scan(x_proj, w_hh_t, b_hh, mask, reverse=reverse)
+            return jnp.sum(ys) + jnp.sum(h)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(x_proj, w_hh_t, b_hh)
+
+    _lowers(fwd_bwd, x_proj, w_hh_t, b_hh)
+
+
+def test_gru_scan_lowers_multi_block_grid(monkeypatch):
+    """Multi-block grid: the (H, G)/(1, G) dw/db shared output blocks are
+    revisited across sequential programs — the exact pattern that was
+    tile-illegal for (num_blocks, block)-shaped sidecars in round 4."""
+    T, B, H = 64, 64, 128
+    bb = pgru._batch_block(B, T, 3 * H)
+    assert bb is not None and B // bb > 1, (bb, "expected a multi-block grid")
+    x_proj = _f32(T, B, 3 * H)
+    w_hh_t = _f32(H, 3 * H)
+    b_hh = _f32(1, 3 * H)
+    mask = jnp.ones((T, B, 1), jnp.float32)
+
+    def fwd_bwd(x_proj, w_hh_t, b_hh):
+        def loss(x_proj, w_hh_t, b_hh):
+            ys, h = pgru.gru_scan(x_proj, w_hh_t, b_hh, mask, reverse=False)
+            return jnp.sum(ys) + jnp.sum(h)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(x_proj, w_hh_t, b_hh)
+
+    _lowers(fwd_bwd, x_proj, w_hh_t, b_hh)
 
 
 @pytest.mark.parametrize("T,B", [(64, 64), (128, 64)])
