@@ -64,6 +64,9 @@ def main():
         compute_dtype="bfloat16", data="mosei", name="bench",
         attn_impl=os.environ.get("BENCH_ATTN", "xla"),
         adam_mu_dtype=os.environ.get("BENCH_MU_DTYPE", "float32"),
+        # BENCH_RNNCELL=gru: full-step A/B of the GRU towers (Pallas GRU
+        # kernel vs XLA fused scan via BENCH_PALLAS=1/0)
+        rnncell=os.environ.get("BENCH_RNNCELL", "lstm"),
     )
     bert_cfg = BertConfig.base()
     if os.environ.get("BENCH_FUSED_LN", "0") == "1":
@@ -79,9 +82,12 @@ def main():
         bert_cfg = dataclasses.replace(bert_cfg, dropout_bits=8,
                                        dropout_recompute=True)
 
-    # production kernel routing, mirroring Trainer (train/loop.py)
+    # production kernel routing, mirroring Trainer (train/loop.py);
+    # BENCH_PALLAS=0/1 overrides cfg.use_pallas for kernel A/Bs
     from mmda_tpu.ops import pallas as pallas_flags
-    pallas_flags.set_enabled(cfg.use_pallas and jax.default_backend() == "tpu")
+    _pallas_env = os.environ.get("BENCH_PALLAS")
+    _use_pallas = cfg.use_pallas if _pallas_env is None else _pallas_env == "1"
+    pallas_flags.set_enabled(_use_pallas and jax.default_backend() == "tpu")
 
     def make_batch(seed):
         split = make_split(SyntheticSpec(num_examples=B, max_len=T, seed=seed))
