@@ -31,7 +31,8 @@ def main():
     from mmda_tpu.models import bilstm
     from mmda_tpu.ops import pallas as pallas_flags
 
-    B, T = 64, 48
+    B = int(os.environ.get("BENCH_B", "64"))   # B=128 -> gridded kernel
+    T = int(os.environ.get("BENCH_T", "48"))
     FV, FA = 35, 74
     n_iters = int(os.environ.get("BENCH_STEPS", "50"))
     rng = np.random.default_rng(0)
