@@ -310,10 +310,11 @@ class Config:
                                   # batches in ONE dispatch + ONE readback
                                   # (~1 s vs 2-3 s per dev eval at MOSEI
                                   # sizes; exact-equivalence tested)
-    use_pallas: bool = True       # fused Pallas LSTM recurrence kernel for the
+    use_pallas: bool = True       # fused Pallas recurrence kernels for the
                                   # towers — ON by default since round 2; the
                                   # Trainer gates it to TPU backends (LSTM
-                                  # cell only; fused XLA scan elsewhere).
+                                  # ops/pallas/lstm.py; GRU ops/pallas/gru.py
+                                  # since round 4; fused XLA scan elsewhere).
                                   # Measured 1.9x tower-pair fwd+bwd vs the
                                   # round-1 scans (benchmarks/bench_towers.py;
                                   # the round-1 per-layer rejection reversed
