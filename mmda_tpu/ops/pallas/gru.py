@@ -57,6 +57,10 @@ def _batch_block(B: int, T: int, G: int) -> Optional[int]:
     for bb in range(cap, 0, -1):
         if B % bb:
             continue
+        # Mosaic tile rule: gridded sublane dims must be multiples of 8
+        # unless they equal the array dim (ADVICE r4; see lstm._batch_block)
+        if bb != B and bb % 8:
+            continue
         if _kernel_bytes(T, bb, G, B // bb) <= _VMEM_BUDGET:
             return bb
     return None

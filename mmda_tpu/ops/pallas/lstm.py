@@ -31,6 +31,65 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # ---------------------------------------------------------------------------
+# Cell math (shared by the whole-T and streaming kernels)
+# ---------------------------------------------------------------------------
+
+
+def _cell_fwd(xp, m, h, c, w):
+    """One masked LSTM step: gates from x_proj + h@w, carry-held at m==0."""
+    H = h.shape[-1]
+    gates = xp + jnp.dot(h, w, preferred_element_type=jnp.float32)
+    ig = jax.nn.sigmoid(gates[:, :H])
+    fg = jax.nn.sigmoid(gates[:, H:2 * H])
+    gg = jnp.tanh(gates[:, 2 * H:3 * H])
+    og = jax.nn.sigmoid(gates[:, 3 * H:])
+    c_new = fg * c + ig * gg
+    h_new = og * jnp.tanh(c_new)
+    h = m * h_new + (1.0 - m) * h
+    c = m * c_new + (1.0 - m) * c
+    return h, c
+
+
+def _cell_bwd(xp, m, h_prev, c_prev, w, dh, dc):
+    """One BPTT step (gates recomputed).  Returns (dgates, dh_prev, dc_prev)
+    where dgates is the pre-activation gradient (== dx_proj at this step)."""
+    H = h_prev.shape[-1]
+    gates = xp + jnp.dot(h_prev, w, preferred_element_type=jnp.float32)
+    ig = jax.nn.sigmoid(gates[:, :H])
+    fg = jax.nn.sigmoid(gates[:, H:2 * H])
+    gg = jnp.tanh(gates[:, 2 * H:3 * H])
+    og = jax.nn.sigmoid(gates[:, 3 * H:])
+    c_new = fg * c_prev + ig * gg
+    tanh_c = jnp.tanh(c_new)
+
+    # unmask: forward did h_t = m*h_new + (1-m)*h_prev
+    dh_new = m * dh
+    dc_new = m * dc
+    dh_pass = (1.0 - m) * dh              # straight-through to h_prev
+    dc_pass = (1.0 - m) * dc
+
+    dc_new = dc_new + dh_new * og * (1.0 - tanh_c * tanh_c)
+    d_og = dh_new * tanh_c
+    d_ig = dc_new * gg
+    d_fg = dc_new * c_prev
+    d_gg = dc_new * ig
+    dc_prev = dc_new * fg + dc_pass
+
+    dgates = jnp.concatenate(
+        [
+            d_ig * ig * (1.0 - ig),
+            d_fg * fg * (1.0 - fg),
+            d_gg * (1.0 - gg * gg),
+            d_og * og * (1.0 - og),
+        ],
+        axis=1,
+    )                                      # (B, G)
+    # dh_prev = dgates @ W_hh  == dgates @ w^T  (w is (H, G))
+    dh_prev = jnp.dot(dgates, w.T, preferred_element_type=jnp.float32) + dh_pass
+    return dgates, dh_prev, dc_prev
+
+
+# ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
@@ -44,17 +103,7 @@ def _fwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
     def step(i, carry):
         h, c = carry
         t = (T - 1 - i) if reverse else i
-        xp = x_proj_ref[t]                # (B, G)
-        m = mask_ref[t]                   # (B, 1)
-        gates = xp + jnp.dot(h, w, preferred_element_type=jnp.float32)
-        ig = jax.nn.sigmoid(gates[:, :H])
-        fg = jax.nn.sigmoid(gates[:, H:2 * H])
-        gg = jnp.tanh(gates[:, 2 * H:3 * H])
-        og = jax.nn.sigmoid(gates[:, 3 * H:])
-        c_new = fg * c + ig * gg
-        h_new = og * jnp.tanh(c_new)
-        h = m * h_new + (1.0 - m) * h
-        c = m * c_new + (1.0 - m) * c
+        h, c = _cell_fwd(x_proj_ref[t], mask_ref[t], h, c, w)
         ys_ref[t] = h
         cs_ref[t] = c
         return (h, c)
@@ -111,6 +160,11 @@ def _batch_block(B: int, T: int, G: int) -> Optional[int]:
     cap = B if B <= 64 else 32
     for bb in range(cap, 0, -1):
         if B % bb:
+            continue
+        # a gridded (BB, .) block whose sublane dim is not a multiple of 8
+        # (and not the full array dim) is Mosaic tile-illegal — e.g. B=40 at
+        # long T must not pick bb=20 (ADVICE r4)
+        if bb != B and bb % 8:
             continue
         if _kernel_bytes(T, bb, G, B // bb) <= _VMEM_BUDGET:
             return bb
@@ -189,7 +243,6 @@ def _bwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
         first = (t == (T - 1)) if reverse else (t == 0)
 
         dh = dh + dys_ref[t]
-        m = mask_ref[t]                   # (B, 1)
 
         # jnp.where evaluates BOTH branches: prev_t must be clamped in range
         # or the boundary step reads ys_ref[-1]/ys_ref[T] out of bounds —
@@ -199,41 +252,9 @@ def _bwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
         h_prev = jnp.where(first, jnp.zeros((B, H), jnp.float32), ys_ref[prev_t])
         c_prev = jnp.where(first, jnp.zeros((B, H), jnp.float32), cs_ref[prev_t])
 
-        # recompute gates at step t
-        gates = x_proj_ref[t] + jnp.dot(h_prev, w, preferred_element_type=jnp.float32)
-        ig = jax.nn.sigmoid(gates[:, :H])
-        fg = jax.nn.sigmoid(gates[:, H:2 * H])
-        gg = jnp.tanh(gates[:, 2 * H:3 * H])
-        og = jax.nn.sigmoid(gates[:, 3 * H:])
-        c_new = fg * c_prev + ig * gg
-        tanh_c = jnp.tanh(c_new)
-
-        # unmask: forward did h_t = m*h_new + (1-m)*h_prev
-        dh_new = m * dh
-        dc_new = m * dc
-        dh_pass = (1.0 - m) * dh          # straight-through to h_prev
-        dc_pass = (1.0 - m) * dc
-
-        dc_new = dc_new + dh_new * og * (1.0 - tanh_c * tanh_c)
-        d_og = dh_new * tanh_c
-        d_ig = dc_new * gg
-        d_fg = dc_new * c_prev
-        d_gg = dc_new * ig
-        dc_prev = dc_new * fg + dc_pass
-
-        dgates = jnp.concatenate(
-            [
-                d_ig * ig * (1.0 - ig),
-                d_fg * fg * (1.0 - fg),
-                d_gg * (1.0 - gg * gg),
-                d_og * og * (1.0 - og),
-            ],
-            axis=1,
-        )                                  # (B, G)
-
+        dgates, dh_prev, dc_prev = _cell_bwd(
+            x_proj_ref[t], mask_ref[t], h_prev, c_prev, w, dh, dc)
         dx_ref[t] = dgates
-        # dh_prev = dgates @ W_hh  == dgates @ w^T  (w is (H, G))
-        dh_prev = jnp.dot(dgates, w.T, preferred_element_type=jnp.float32) + dh_pass
         # dW_hh^T accumulation: (H, G) += h_prev^T @ dgates
         dw_acc[:] += jnp.dot(h_prev.T, dgates, preferred_element_type=jnp.float32)
         return (dh_prev, dc_prev)

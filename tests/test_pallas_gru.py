@@ -1,5 +1,5 @@
 """Pallas fused-GRU kernel equivalence vs the XLA scan path (interpret mode
-on CPU; compiled on real TPU by benchmarks/bench_towers.py --cell gru).
+on CPU; the hardware A/B lives in benchmarks/bench_gru.py, BENCH_B/BENCH_T).
 
 Mirrors tests/test_pallas_lstm.py; the interpret switch is shared with the
 LSTM module (gru.py reads lstm._FORCE_INTERPRET via the imported helper).
@@ -74,8 +74,9 @@ def test_full_birnn_with_pallas_matches():
 
 
 def test_batch_blocked_grid_matches_xla_scan():
-    """Force a multi-block grid (the sequential-grid dw/db accumulation and
-    the cross-block dh carry) and pin fwd+grad equivalence."""
+    """Force a multi-block grid and pin fwd+grad equivalence.  Batch blocks
+    are independent (no carry crosses grid programs); what this pins is the
+    sequential-grid dw/db accumulation into the shared output block."""
     params = bilstm.rnn_params(jax.random.PRNGKey(1), 5, 4, "gru")
     p = params["fwd"]
     B, T = 6, 6
