@@ -119,8 +119,30 @@ def _gru_step(h, x_proj_ih, b_hh, w_hh_t):
 # ---------------------------------------------------------------------------
 
 
+def _use_kernel(cell: str, T: int, B: int, G: int, training: bool) -> bool:
+    """The Pallas-vs-XLA recurrence routing decision (requires the global
+    Pallas flag on; shape args are the kernel geometry).
+
+    Training (fwd+bwd): any kernelizable geometry wins — whole-T when it
+    fits scoped VMEM, else the streaming time-chunked kernel (long T).
+    Inference (deterministic fwd-only): ONLY the ungridded single-block
+    whole-T geometry — the gridded Pallas GRU measured 2x SLOWER on
+    fwd-only at B=128 (1.444 vs 0.727 ms, benchmarks/RESULTS.md round-4
+    continuation): with no backward to amortize the double-buffered block
+    pipeline, the XLA scan is the better inference path.
+    """
+    if cell == "lstm":
+        from mmda_tpu.ops.pallas import lstm as k
+    else:
+        from mmda_tpu.ops.pallas import gru as k
+    if training:
+        return k.kernelizable(T, B, G)
+    return k.single_block(T, B, G)
+
+
 def _scan_direction(p, x, mask, cell: str, reverse: bool,
-                    use_pallas: Optional[bool] = None):
+                    use_pallas: Optional[bool] = None,
+                    training: bool = True):
     """Run one direction over (B, T, F) input.
 
     mask: (B, T) 1.0 where t < length.  Masked steps hold the carry, which
@@ -152,24 +174,19 @@ def _scan_direction(p, x, mask, cell: str, reverse: bool,
         from mmda_tpu.ops import pallas as pallas_flags
 
         use_pallas = pallas_flags.is_enabled()
-    if use_pallas and cell == "lstm":
-        from mmda_tpu.ops.pallas.lstm import fits_vmem, lstm_scan
+    # Whole-T kernel when it fits scoped VMEM, streaming time-chunked kernel
+    # at long T (training only — see _use_kernel for the decision matrix).
+    if use_pallas and _use_kernel(cell, T, B, x_proj.shape[-1], training):
+        if cell == "lstm":
+            from mmda_tpu.ops.pallas.lstm import lstm_scan
 
-        # The fused kernel holds full (T, BB, .) tensors in VMEM; long T
-        # blows the 16 MiB scoped limit (T=512 towers OOM'd at 40 MiB on
-        # v5e).  Off-budget shapes take the XLA scan below — correct at
-        # any T, and long-T towers are scan-bound anyway.
-        if fits_vmem(T, B, x_proj.shape[-1]):
             ys, hT = lstm_scan(x_proj.astype(f32), w_hh_t, m, reverse)
-            return jnp.swapaxes(ys, 0, 1), hT
-    if use_pallas and cell == "gru":
-        from mmda_tpu.ops.pallas.gru import fits_vmem as gru_fits
-        from mmda_tpu.ops.pallas.gru import gru_scan
+        else:
+            from mmda_tpu.ops.pallas.gru import gru_scan
 
-        if gru_fits(T, B, x_proj.shape[-1]):
             ys, hT = gru_scan(x_proj.astype(f32), w_hh_t,
                               p["b_hh"].astype(f32)[None, :], m, reverse)
-            return jnp.swapaxes(ys, 0, 1), hT
+        return jnp.swapaxes(ys, 0, 1), hT
 
     h0 = jnp.zeros((B, H), f32)
 
@@ -309,6 +326,7 @@ def birnn(
     cell: str = "lstm",
     zero_masked_outputs: bool = True,
     fused: Optional[bool] = None,
+    training: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bidirectional masked RNN.
 
@@ -318,6 +336,8 @@ def birnn(
       lengths: (B,) true lengths.
       fused: run both directions in one lax.scan (default: yes, unless the
         Pallas kernel path is enabled, which owns its own scan).
+      training: fwd+bwd vs deterministic fwd-only — routes the Pallas-vs-XLA
+        recurrence decision (_use_kernel); shape-identical either way.
     Returns:
       outputs: (B, T, 2H) [fwd; bwd] per timestep (zeros at pads when
         zero_masked_outputs, matching pad_packed_sequence).
@@ -330,22 +350,17 @@ def birnn(
 
         use_kernel = pallas_flags.is_enabled()
         if use_kernel:
-            # long-T shapes the kernel cannot hold in scoped VMEM go back
-            # to the fused-direction XLA scan (one scan, both directions)
-            if cell == "lstm":
-                from mmda_tpu.ops.pallas.lstm import fits_vmem
-
-                use_kernel = fits_vmem(T, B, 4 * params["fwd"]["w_hh"].shape[1])
-            else:
-                from mmda_tpu.ops.pallas.gru import fits_vmem as gru_fits
-
-                use_kernel = gru_fits(T, B, 3 * params["fwd"]["w_hh"].shape[1])
+            ngates = 4 if cell == "lstm" else 3
+            use_kernel = _use_kernel(
+                cell, T, B, ngates * params["fwd"]["w_hh"].shape[1], training)
         fused = not use_kernel
     if fused:
         ys_f, ys_b, h_f, h_b = _birnn_fused(params, x, mask, cell)
     else:
-        ys_f, h_f = _scan_direction(params["fwd"], x, mask, cell, reverse=False)
-        ys_b, h_b = _scan_direction(params["bwd"], x, mask, cell, reverse=True)
+        ys_f, h_f = _scan_direction(params["fwd"], x, mask, cell,
+                                    reverse=False, training=training)
+        ys_b, h_b = _scan_direction(params["bwd"], x, mask, cell,
+                                    reverse=True, training=training)
     ys = jnp.concatenate([ys_f, ys_b], axis=-1)
     if zero_masked_outputs:
         ys = ys * mask[..., None]
@@ -376,14 +391,15 @@ def extract_features(
     x: jnp.ndarray,
     lengths: jnp.ndarray,
     cell: str = "lstm",
+    training: bool = True,
 ) -> jnp.ndarray:
     """Reference `extract_features` + utterance concat (src/models.py:163-180,
     203-213): rnn1 -> LayerNorm(padded outputs) -> rnn2; utterance vector is
     cat((final_h1, final_h2), feature).permute -> [h1_f, h2_f, h1_b, h2_b],
     shape (B, 4H)."""
-    ys1, h1 = birnn(params["rnn1"], x, lengths, cell)
+    ys1, h1 = birnn(params["rnn1"], x, lengths, cell, training=training)
     ys1 = layer_norm(params["ln"], ys1)
-    _, h2 = birnn(params["rnn2"], ys1, lengths, cell)
+    _, h2 = birnn(params["rnn2"], ys1, lengths, cell, training=training)
     H = h1.shape[-1] // 2
     h1_f, h1_b = h1[:, :H], h1[:, H:]
     h2_f, h2_b = h2[:, :H], h2[:, H:]
@@ -404,6 +420,7 @@ def extract_features_pair(
     lengths_a: jnp.ndarray,
     cell: str = "lstm",
     use_pallas_multi: Optional[bool] = None,
+    training: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Extract the visual and acoustic utterance vectors together.
 
@@ -423,8 +440,8 @@ def extract_features_pair(
         use_pallas_multi = False
     if (not use_pallas_multi) or cell != "lstm" or xv.shape[:2] != xa.shape[:2]:
         return (
-            extract_features(params_v, xv, lengths_v, cell),
-            extract_features(params_a, xa, lengths_a, cell),
+            extract_features(params_v, xv, lengths_v, cell, training=training),
+            extract_features(params_a, xa, lengths_a, cell, training=training),
         )
 
     from mmda_tpu.ops.pallas import lstm_multi as lm

@@ -82,7 +82,8 @@ def ef_lstm_forward(
         raise ValueError("EF_LSTM needs word-aligned modalities")
     x = jnp.concatenate([emb, visual, acoustic], axis=-1)
     utt = bilstm.extract_features(
-        params["fused_extractor"], x, batch.lengths, cfg.rnncell)  # (B, 4H)
+        params["fused_extractor"], x, batch.lengths, cfg.rnncell,
+        training=not deterministic)  # (B, 4H)
 
     h = act(linear(params["head1"], utt.astype(jnp.float32)))
     logits = linear(params["head2"], h)

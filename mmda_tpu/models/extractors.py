@@ -70,7 +70,9 @@ def make_tower_params(key, cfg, input_size: int) -> Dict:
     return bilstm.extractor_params(key, input_size, input_size, cfg.rnncell)
 
 
-def tower_extract(params: Dict, cfg, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+def tower_extract(params: Dict, cfg, x: jnp.ndarray, lengths: jnp.ndarray,
+                  training: bool = True) -> jnp.ndarray:
     if cfg.extractor == "transformer":
         return transformer_extract(params, x, lengths)
-    return bilstm.extract_features(params, x, lengths, cfg.rnncell)
+    return bilstm.extract_features(params, x, lengths, cfg.rnncell,
+                                   training=training)

@@ -238,14 +238,17 @@ def misa_forward(
         emb = params["embed"][batch.text].astype(compute_dtype)
         if modality_keep is not None:
             emb = emb * modality_keep.astype(compute_dtype)[:, 0][:, None, None]
-        utt_text = tower_extract(params["text_extractor"], cfg, emb, batch.lengths)
+        utt_text = tower_extract(params["text_extractor"], cfg, emb,
+                                 batch.lengths, training=not deterministic)
 
     # ---- visual / acoustic towers ----------------------------------------
     v_len = batch.visual_lengths if batch.visual_lengths is not None else batch.lengths
     a_len = batch.acoustic_lengths if batch.acoustic_lengths is not None else batch.lengths
     if cfg.extractor == "transformer":
-        utt_video = tower_extract(params["visual_extractor"], cfg, visual, v_len)
-        utt_audio = tower_extract(params["acoustic_extractor"], cfg, acoustic, a_len)
+        utt_video = tower_extract(params["visual_extractor"], cfg, visual,
+                                  v_len, training=not deterministic)
+        utt_audio = tower_extract(params["acoustic_extractor"], cfg, acoustic,
+                                  a_len, training=not deterministic)
     else:
         # both RNN towers through one path: with cfg.use_pallas on (TPU) the
         # recurrences run in the fused per-direction Pallas kernel, otherwise
@@ -254,6 +257,7 @@ def misa_forward(
         utt_video, utt_audio = bilstm.extract_features_pair(
             params["visual_extractor"], params["acoustic_extractor"],
             visual, acoustic, v_len, a_len, cfg.rnncell,
+            training=not deterministic,
         )
 
     # ---- shared/private (src/models.py:265-279) ---------------------------

@@ -189,20 +189,22 @@ def mmim_forward(
         if modality_keep is not None:
             emb = emb * modality_keep.astype(compute_dtype)[:, 0][:, None, None]
         utt_t = tower_extract(params["text_extractor"], cfg, emb,
-                              batch.lengths)
+                              batch.lengths, training=not deterministic)
 
     v_len = (batch.visual_lengths if batch.visual_lengths is not None
              else batch.lengths)
     a_len = (batch.acoustic_lengths if batch.acoustic_lengths is not None
              else batch.lengths)
     if cfg.extractor == "transformer":
-        utt_v = tower_extract(params["visual_extractor"], cfg, visual, v_len)
+        utt_v = tower_extract(params["visual_extractor"], cfg, visual, v_len,
+                              training=not deterministic)
         utt_a = tower_extract(params["acoustic_extractor"], cfg, acoustic,
-                              a_len)
+                              a_len, training=not deterministic)
     else:
         utt_v, utt_a = bilstm.extract_features_pair(
             params["visual_extractor"], params["acoustic_extractor"],
-            visual, acoustic, v_len, a_len, cfg.rnncell)
+            visual, acoustic, v_len, a_len, cfg.rnncell,
+            training=not deterministic)
 
     def project(p, x):
         return layer_norm(p["ln"], act(linear(p["linear"],

@@ -172,10 +172,66 @@ def _batch_block(B: int, T: int, G: int) -> Optional[int]:
 
 
 def fits_vmem(T: int, B: int, G: int) -> bool:
-    """True if the fused kernel can run this shape inside scoped VMEM.
-    bilstm._scan_direction consults this before routing to the Pallas path
-    (off-budget shapes take the XLA scan — correct at any T)."""
+    """True if the whole-T fused kernel can run this shape inside scoped
+    VMEM.  bilstm consults this (and `stream_geometry` below) before routing
+    to the Pallas path (off-budget shapes take the XLA scan — correct at
+    any T)."""
     return _batch_block(B, T, G) is not None
+
+
+def single_block(T: int, B: int, G: int) -> bool:
+    """True when the whole-T kernel runs ungridded (one batch block, no
+    double-buffering).  Inference-only forwards should prefer the XLA scan
+    at gridded geometries: the gridded Pallas GRU measured 2x slower on
+    fwd-only at B=128 (benchmarks/RESULTS.md round-4 continuation)."""
+    return _batch_block(B, T, G) == B
+
+
+def _divisors_desc(n: int):
+    return (d for d in range(n, 0, -1) if n % d == 0)
+
+
+def _stream_overhead(BB: int, G: int, ngates: int) -> int:
+    """Fixed streaming-kernel VMEM beyond the chunked blocks: h/c (or dh/dc)
+    carry scratch + double-buffered boundary and final-state (BB, H) blocks
+    (~8 rows of lane-padded H), plus w / dw_acc / dw at (H, lane-padded G)."""
+    H = G // ngates
+    return 4 * (8 * max(BB, 8) * _pad128(H) + 4 * H * _pad128(G))
+
+
+def stream_geometry(T: int, B: int, G: int,
+                    bytes_fn=None, ngates: int = 4) -> Optional[tuple]:
+    """Geometry (BB, TC) for the STREAMING (time-chunked) kernel, or None.
+
+    Used for long-T shapes where the whole-T kernel cannot hold the full
+    (T, BB, .) tensors in scoped VMEM (the T>=256 towers that fell back to
+    the XLA scan through round 4).  The grid is (B//BB, T//TC) with time as
+    the minor — sequential — dimension; h/c are carried across time chunks
+    in VMEM scratch, so only one (TC, BB, .) chunk of every tensor is
+    resident (double-buffered: Mosaic prefetches chunk j+1's x_proj/dys
+    while chunk j computes — the recurrence is sequential in compute but
+    its HBM traffic pipelines).
+
+    BB is maximized first: batch blocks run serially on the sequential TPU
+    grid, so total recurrence latency scales with (B/BB)*T cell steps.  TC
+    then takes the largest divisor of T that fits the double-buffered
+    budget (min 8 to amortize per-chunk pipeline overhead; TC == T is the
+    whole-T kernel's job).
+    """
+    bytes_fn = bytes_fn or _kernel_bytes
+    if T < 16:
+        return None
+    for bb in _divisors_desc(B):
+        if bb != B and bb % 8:
+            continue  # Mosaic tile rule (gridded sublane dim)
+        for tc in _divisors_desc(T):
+            if tc >= T or tc < 8:
+                continue
+            # n_blocks=2 applies the gridded double-buffer factor
+            if (bytes_fn(tc, bb, G, 2) + _stream_overhead(bb, G, ngates)
+                    <= _VMEM_BUDGET):
+                return bb, tc
+    return None
 
 
 def _require_block(B: int, T: int, G: int) -> int:
@@ -188,7 +244,7 @@ def _require_block(B: int, T: int, G: int) -> int:
     return bb
 
 
-def _fwd_call(x_proj, w_hh_t, mask, reverse: bool):
+def _whole_fwd_call(x_proj, w_hh_t, mask, reverse: bool):
     T, B, G = x_proj.shape
     H = G // 4
     BB = _require_block(B, T, G)
@@ -272,7 +328,8 @@ def _bwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
     dw_ref[:] += dw_acc[:]
 
 
-def _bwd_call(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin, reverse: bool):
+def _whole_bwd_call(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin,
+                    reverse: bool):
     T, B, G = x_proj.shape
     H = G // 4
     BB = _require_block(B, T, G)
@@ -305,6 +362,274 @@ def _bwd_call(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin, reverse: bool):
         scratch_shapes=[pltpu.VMEM((H, G), jnp.float32)],
         interpret=_interpret(),
     )(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (time-chunked) kernels — the long-T path
+# ---------------------------------------------------------------------------
+#
+# The whole-T kernel holds full (T, BB, .) tensors in VMEM, so its footprint
+# is linear in T and T>=256 towers fell back to the XLA scan through round 4
+# (VERDICT r4 weak #2).  The streaming variant grids over (B//BB, T//TC) with
+# time as the MINOR (sequential) grid dim and carries h/c across time chunks
+# in VMEM scratch — the same revisited-block technique as the LayerNorm
+# stats accumulator.  Only one (TC, BB, .) chunk of every tensor is resident
+# (double-buffered: Mosaic prefetches chunk j+1 while chunk j computes, so
+# the recurrence's HBM traffic pipelines even though compute is sequential).
+# Replaces the cuDNN packed LSTM at long T (reference src/models.py:163-180).
+
+
+def _stream_fwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
+                       h_fin_ref, c_fin_ref, h_scr, c_scr, *, reverse: bool):
+    TC, BB, G = x_proj_ref.shape
+    H = G // 4
+    w = w_hh_t_ref[:]
+
+    # first time chunk of this batch block: reset the carried state
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    def step(i, carry):
+        h, c = carry
+        t = (TC - 1 - i) if reverse else i
+        h, c = _cell_fwd(x_proj_ref[t], mask_ref[t], h, c, w)
+        ys_ref[t] = h
+        cs_ref[t] = c
+        return (h, c)
+
+    hT, cT = jax.lax.fori_loop(0, TC, step, (h_scr[:], c_scr[:]))
+    h_scr[:] = hT
+    c_scr[:] = cT
+    # revisited (BB, H) output blocks: the final flush (last chunk of this
+    # batch block) leaves the true final state in HBM
+    h_fin_ref[:] = hT
+    c_fin_ref[:] = cT
+
+
+def _stream_fwd_call(x_proj, w_hh_t, mask, reverse: bool, BB: int, TC: int):
+    T, B, G = x_proj.shape
+    H = G // 4
+    ntc = T // TC
+    kernel = functools.partial(_stream_fwd_kernel, reverse=reverse)
+
+    # chunk visit order follows the forward temporal processing order:
+    # reverse=False walks chunks 0..ntc-1, reverse=True walks ntc-1..0
+    if reverse:
+        def tmap(i, j):
+            return (ntc - 1 - j, i, 0)
+    else:
+        def tmap(i, j):
+            return (j, i, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BB, ntc),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),   # ys
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),   # cs
+            jax.ShapeDtypeStruct((B, H), jnp.float32),      # h_final
+            jax.ShapeDtypeStruct((B, H), jnp.float32),      # c_final
+        ),
+        in_specs=[
+            pl.BlockSpec((TC, BB, G), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, BB, 1), tmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TC, BB, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, BB, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((BB, H), jnp.float32),
+                        pltpu.VMEM((BB, H), jnp.float32)],
+        interpret=_interpret(),
+    )(x_proj, w_hh_t, mask)
+
+
+def _stream_bwd_kernel(x_proj_ref, w_hh_t_ref, mask_ref, ys_ref, cs_ref,
+                       hb_ref, cb_ref, dys_ref, dh_fin_ref, dc_fin_ref,
+                       dx_ref, dw_ref, dw_acc, dh_scr, dc_scr,
+                       *, reverse: bool):
+    TC, BB, G = x_proj_ref.shape
+    H = G // 4
+    w = w_hh_t_ref[:]
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    # first processed chunk of this batch block: seed the BPTT carries from
+    # the incoming final-state cotangents
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dh_scr[:] = dh_fin_ref[:]
+        dc_scr[:] = dc_fin_ref[:]
+
+    dw_acc[:] = jnp.zeros_like(dw_acc)
+
+    def step(i, carry):
+        dh, dc = carry
+        # local step in REVERSE of the forward temporal processing order
+        t = i if reverse else (TC - 1 - i)
+        prev_t = (t + 1) if reverse else (t - 1)
+        boundary = (t == (TC - 1)) if reverse else (t == 0)
+
+        dh = dh + dys_ref[t]
+
+        # clamp: jnp.where evaluates both branches (hardware-fault lesson)
+        prev_tc = jnp.clip(prev_t, 0, TC - 1)
+        # at the chunk edge the previous state lives in the NEIGHBOR chunk —
+        # it arrives via the hb/cb boundary inputs (gathered in XLA from the
+        # saved ys/cs; zeros at the sequence edge)
+        h_prev = jnp.where(boundary, hb_ref[0], ys_ref[prev_tc])
+        c_prev = jnp.where(boundary, cb_ref[0], cs_ref[prev_tc])
+
+        dgates, dh_prev, dc_prev = _cell_bwd(
+            x_proj_ref[t], mask_ref[t], h_prev, c_prev, w, dh, dc)
+        dx_ref[t] = dgates
+        dw_acc[:] += jnp.dot(h_prev.T, dgates,
+                             preferred_element_type=jnp.float32)
+        return (dh_prev, dc_prev)
+
+    dh, dc = jax.lax.fori_loop(0, TC, step, (dh_scr[:], dc_scr[:]))
+    dh_scr[:] = dh
+    dc_scr[:] = dc
+    dw_ref[:] += dw_acc[:]
+
+
+def _stream_bwd_call(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin,
+                     reverse: bool, BB: int, TC: int):
+    T, B, G = x_proj.shape
+    H = G // 4
+    ntc = T // TC
+    kernel = functools.partial(_stream_bwd_kernel, reverse=reverse)
+
+    # BPTT walks chunks in REVERSE of the forward processing order
+    if reverse:
+        def tmap(i, j):
+            return (j, i, 0)
+
+        def kmap(i, j):
+            return (j, i, 0)
+    else:
+        def tmap(i, j):
+            return (ntc - 1 - j, i, 0)
+
+        def kmap(i, j):
+            return (ntc - 1 - j, i, 0)
+
+    hb, cb = _chunk_boundaries(ys, cs, TC, reverse)
+
+    def bmap(i, j):
+        return (i, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BB, ntc),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, G), jnp.float32),   # dx_proj
+            jax.ShapeDtypeStruct((H, G), jnp.float32),      # dw_hh_t
+        ),
+        in_specs=[
+            pl.BlockSpec((TC, BB, G), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, BB, 1), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, BB, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, BB, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), kmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), kmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC, BB, H), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), bmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TC, BB, G), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((H, G), jnp.float32),
+                        pltpu.VMEM((BB, H), jnp.float32),
+                        pltpu.VMEM((BB, H), jnp.float32)],
+        interpret=_interpret(),
+    )(x_proj, w_hh_t, mask, ys, cs, hb, cb, dys, dh_fin, dc_fin)
+
+
+def _chunk_boundaries(ys, cs, tc: int, reverse: bool):
+    """Per-chunk previous states for the streaming backward, gathered in XLA
+    from the saved state sequences (cheap static strided slices — no extra
+    kernel outputs).  hb[k]/cb[k] = the state entering chunk k in forward
+    temporal processing order; zeros at the sequence edge."""
+    zero = jnp.zeros((1,) + ys.shape[1:], ys.dtype)
+    if reverse:
+        # forward processed t = T-1..0: chunk k's first step t=(k+1)*tc-1
+        # consumed the state after step (k+1)*tc
+        hb = jnp.concatenate([ys[tc::tc], zero], axis=0)
+        cb = jnp.concatenate([cs[tc::tc], zero], axis=0)
+    else:
+        # chunk k's first step t=k*tc consumed the state after step k*tc-1
+        hb = jnp.concatenate([zero, ys[tc - 1:-1:tc]], axis=0)
+        cb = jnp.concatenate([zero, cs[tc - 1:-1:tc]], axis=0)
+    return hb, cb
+
+
+# ---------------------------------------------------------------------------
+# Dispatch (whole-T kernel when it fits, streaming at long T)
+# ---------------------------------------------------------------------------
+
+# Testing hook: force the streaming path with an explicit (BB, TC) geometry
+# so equivalence tests can exercise it at small interpret-friendly shapes.
+_FORCE_STREAM_GEOM: Optional[tuple] = None
+
+
+def set_force_stream(geom: Optional[tuple]) -> None:
+    global _FORCE_STREAM_GEOM
+    _FORCE_STREAM_GEOM = geom
+
+
+def _route(T: int, B: int, G: int):
+    """('whole', BB) | ('stream', (BB, TC)).  Raises when neither fits —
+    callers must gate on kernelizable() and take the XLA scan path."""
+    if _FORCE_STREAM_GEOM is not None:
+        return ("stream", _FORCE_STREAM_GEOM)
+    bb = _batch_block(B, T, G)
+    if bb is not None:
+        return ("whole", bb)
+    geom = stream_geometry(T, B, G)
+    if geom is not None:
+        return ("stream", geom)
+    raise ValueError(
+        f"Pallas LSTM kernel cannot fit (T={T}, B={B}, G={G}) in scoped "
+        f"VMEM as whole-T or time-chunked; callers must gate on "
+        f"kernelizable() and take the XLA scan path")
+
+
+def kernelizable(T: int, B: int, G: int) -> bool:
+    """True if ANY Pallas LSTM path (whole-T or streaming) can run this
+    shape.  The training-path routing gate in models/bilstm.py."""
+    if _FORCE_STREAM_GEOM is not None:
+        return True
+    return fits_vmem(T, B, G) or stream_geometry(T, B, G) is not None
+
+
+def _fwd_call(x_proj, w_hh_t, mask, reverse: bool):
+    T, B, G = x_proj.shape
+    mode, geom = _route(T, B, G)
+    if mode == "whole":
+        return _whole_fwd_call(x_proj, w_hh_t, mask, reverse)
+    return _stream_fwd_call(x_proj, w_hh_t, mask, reverse, *geom)
+
+
+def _bwd_call(x_proj, w_hh_t, mask, ys, cs, dys, dh_fin, dc_fin,
+              reverse: bool):
+    T, B, G = x_proj.shape
+    mode, geom = _route(T, B, G)
+    if mode == "whole":
+        return _whole_bwd_call(x_proj, w_hh_t, mask, ys, cs, dys,
+                               dh_fin, dc_fin, reverse)
+    return _stream_bwd_call(x_proj, w_hh_t, mask, ys, cs, dys,
+                            dh_fin, dc_fin, reverse, *geom)
 
 
 # ---------------------------------------------------------------------------

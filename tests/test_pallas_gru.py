@@ -112,11 +112,12 @@ def test_batch_blocked_grid_matches_xla_scan():
 
 
 def test_vmem_gate_and_fallback():
-    """Off-budget long-T shapes must route back to the XLA scan (same
-    footprint-gate contract as the LSTM kernel; both historical LSTM faults
-    are re-checked here at the GRU G=3H geometry)."""
+    """Whole-T-off-budget long-T shapes now route to the STREAMING kernel
+    (round 5); the whole-T footprint gate itself is unchanged (both
+    historical LSTM faults re-checked at the GRU G=3H geometry)."""
     assert pgru.fits_vmem(48, 64, 3 * 74)        # headline-tower geometry
     assert not pgru.fits_vmem(512, 32, 3 * 296)  # long-T big-H: cannot fit
+    assert pgru.stream_geometry(512, 32, 3 * 296) is not None  # ...but streams
 
     B, T, F, H = 8, 512, 5, 128
     params = bilstm.rnn_params(jax.random.PRNGKey(2), F, H, "gru")
@@ -128,5 +129,45 @@ def test_vmem_gate_and_fallback():
         pytest.skip("shape unexpectedly fits; gate test needs an off-budget shape")
     ys_k, h_k = bilstm._scan_direction(p, x, mask, "gru", False, use_pallas=True)
     ys_x, h_x = bilstm._scan_direction(p, x, mask, "gru", False, use_pallas=False)
-    np.testing.assert_array_equal(np.asarray(ys_k), np.asarray(ys_x))
-    np.testing.assert_array_equal(np.asarray(h_k), np.asarray(h_x))
+    np.testing.assert_allclose(np.asarray(ys_k), np.asarray(ys_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_stream_matches_xla_scan(reverse):
+    """Streaming GRU at a forced 2-D grid (2 batch blocks x 3 time chunks):
+    fwd + grads (incl. db_hh, which only the GRU emits) must match the XLA
+    scan across the h carry and dw/db accumulation boundaries."""
+    B, T, F, H = 16, 12, 5, 4
+    params = bilstm.rnn_params(jax.random.PRNGKey(6), F, H, "gru")
+    p = params["fwd"]
+    x = jnp.array(RNG.normal(size=(B, T, F)).astype(np.float32))
+    lengths = jnp.array([12, 2, 4, 5, 8, 9, 1, 11, 12, 3, 4, 6, 7, 10, 12, 1])
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    pgru.set_force_stream((8, 4))            # grid (2, 3)
+    try:
+        def loss(p, x, use_pallas):
+            ys, h = bilstm._scan_direction(p, x, mask, "gru", reverse,
+                                           use_pallas=use_pallas)
+            return jnp.sum(ys ** 2) + 3.0 * jnp.sum(
+                h * jnp.arange(h.size).reshape(h.shape))
+
+        ys_x, h_x = bilstm._scan_direction(p, x, mask, "gru", reverse,
+                                           use_pallas=False)
+        ys_p, h_p = bilstm._scan_direction(p, x, mask, "gru", reverse,
+                                           use_pallas=True)
+        np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x),
+                                   rtol=1e-5, atol=1e-5)
+        gx = jax.grad(loss, argnums=(0, 1))(p, x, False)
+        gp = jax.grad(loss, argnums=(0, 1))(p, x, True)
+        for a, b in zip(jax.tree_util.tree_leaves(gx),
+                        jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        pgru.set_force_stream(None)

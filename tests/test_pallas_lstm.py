@@ -162,11 +162,11 @@ def test_batch_blocked_grid_matches_xla_scan(B):
 
 @pytest.mark.slow
 def test_long_t_vmem_gate_and_fallback():
-    """Round-4: the kernel holds full (T, BB, .) tensors in VMEM, so long-T
-    shapes blow the 16 MiB scoped limit (T=512 towers faulted at 40 MiB on
-    v5e).  fits_vmem() gates the routing: production shapes keep the kernel,
-    off-budget shapes take the XLA scan — which must produce the same
-    numbers (it IS the reference path)."""
+    """Round-4: the whole-T kernel holds full (T, BB, .) tensors in VMEM, so
+    long-T shapes blow the 16 MiB scoped limit (T=512 towers faulted at
+    40 MiB on v5e).  fits_vmem() gates that path; round 5 adds the STREAMING
+    kernel behind it, so a use_pallas long-T run now routes to the
+    time-chunked kernel and must match the XLA scan numerically."""
     # gate decisions pinned against the measured compiles (lstm.py docstring)
     assert plstm.fits_vmem(48, 64, 4 * 74)       # headline towers: one block
     assert plstm.fits_vmem(48, 64, 4 * 35)
@@ -177,7 +177,13 @@ def test_long_t_vmem_gate_and_fallback():
     assert not plstm.fits_vmem(512, 16, 4 * 128)
     assert not plstm.fits_vmem(512, 32, 4 * 74)  # the faulting retry4 shape
 
-    # routing: use_pallas=True at an off-budget shape falls back to XLA
+    # ...but all of those long-T shapes now stream (VERDICT r4 item 1)
+    assert plstm.stream_geometry(256, 64, 4 * 74) is not None
+    assert plstm.stream_geometry(512, 16, 4 * 128) is not None
+    assert plstm.stream_geometry(512, 32, 4 * 74) is not None
+
+    # routing: use_pallas=True at a whole-T-off-budget shape takes the
+    # streaming kernel and matches the XLA scan
     B, T, F, H = 16, 512, 5, 128
     params = bilstm.rnn_params(jax.random.PRNGKey(2), F, H, "lstm")
     x = jnp.array(RNG.normal(size=(B, T, F)).astype(np.float32))
@@ -186,8 +192,107 @@ def test_long_t_vmem_gate_and_fallback():
     p = params["fwd"]
     ys_k, h_k = bilstm._scan_direction(p, x, mask, "lstm", False, use_pallas=True)
     ys_x, h_x = bilstm._scan_direction(p, x, mask, "lstm", False, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(ys_k), np.asarray(ys_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_prime_t_has_no_stream_geometry_and_falls_back():
+    """T with no divisor in [8, T) cannot chunk — the XLA scan fallback must
+    remain reachable (and exact, it IS the same code path)."""
+    B, T, F, H = 16, 509, 5, 128            # 509 is prime
+    assert not plstm.fits_vmem(T, B, 4 * H)
+    assert plstm.stream_geometry(T, B, 4 * H) is None
+    assert not plstm.kernelizable(T, B, 4 * H)
+    params = bilstm.rnn_params(jax.random.PRNGKey(4), F, H, "lstm")
+    x = jnp.array(RNG.normal(size=(B, T, F)).astype(np.float32))
+    lengths = jnp.array(RNG.integers(1, T + 1, size=B))
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+    p = params["fwd"]
+    ys_k, h_k = bilstm._scan_direction(p, x, mask, "lstm", False, use_pallas=True)
+    ys_x, h_x = bilstm._scan_direction(p, x, mask, "lstm", False, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(ys_k), np.asarray(ys_x))
     np.testing.assert_array_equal(np.asarray(h_k), np.asarray(h_x))
+
+
+# ---------------------------------------------------------------------------
+# Streaming (time-chunked) kernel — round 5 (VERDICT r4 item 1)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_stream_matches_xla_scan(reverse):
+    """Force the streaming path at a small 2-D grid (2 batch blocks x 3 time
+    chunks) and pin fwd + grad equivalence across BOTH kinds of block
+    boundary (the h/c carry across time chunks, the dw/db accumulation
+    across batch blocks), with masking edges inside and across chunks."""
+    B, T, F, H = 16, 12, 5, 4
+    params = bilstm.rnn_params(jax.random.PRNGKey(5), F, H, "lstm")
+    p = params["fwd"]
+    x = jnp.array(RNG.normal(size=(B, T, F)).astype(np.float32))
+    # lengths straddle every chunk boundary (chunks of 4): incl. full and 1
+    lengths = jnp.array([12, 2, 4, 5, 8, 9, 1, 11, 12, 3, 4, 6, 7, 10, 12, 1])
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    plstm.set_force_stream((8, 4))           # grid (2, 3)
+    try:
+        def loss(p, x, use_pallas):
+            ys, h = bilstm._scan_direction(p, x, mask, "lstm", reverse,
+                                           use_pallas=use_pallas)
+            return jnp.sum(ys ** 2) + 3.0 * jnp.sum(
+                h * jnp.arange(h.size).reshape(h.shape))
+
+        ys_x, h_x = bilstm._scan_direction(p, x, mask, "lstm", reverse,
+                                           use_pallas=False)
+        ys_p, h_p = bilstm._scan_direction(p, x, mask, "lstm", reverse,
+                                           use_pallas=True)
+        np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_x),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x),
+                                   rtol=1e-5, atol=1e-5)
+        gx = jax.grad(loss, argnums=(0, 1))(p, x, False)
+        gp = jax.grad(loss, argnums=(0, 1))(p, x, True)
+        for a, b in zip(jax.tree_util.tree_leaves(gx),
+                        jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        plstm.set_force_stream(None)
+
+
+def test_stream_geometry_contract():
+    """(BB, TC) picks: BB maximized first (batch blocks serialize the
+    recurrence), TC the largest fitting divisor of T in [8, T); Mosaic tile
+    rule respected for gridded sublane dims; tiny T never streams."""
+    geom = plstm.stream_geometry(512, 32, 4 * 74)
+    assert geom is not None and geom[0] == 32 and 512 % geom[1] == 0
+    assert plstm.stream_geometry(8, 64, 4 * 74) is None      # T too short
+    bb, tc = plstm.stream_geometry(512, 40, 4 * 296)          # non-pow2 B
+    assert bb == 40 or bb % 8 == 0
+    assert tc >= 8 and 512 % tc == 0
+
+
+def test_training_vs_inference_kernel_routing():
+    """VERDICT r4 item 5: the decision matrix for Pallas-vs-XLA recurrence
+    routing.  Inference (deterministic fwd-only) takes the kernel ONLY at
+    ungridded single-block geometries — the gridded GRU measured 2x slower
+    on fwd-only at B=128 (benchmarks/RESULTS.md round-4 continuation)."""
+    G = 4 * 74
+    # training: whole-T (single and gridded) and streaming all kernelize
+    assert bilstm._use_kernel("lstm", 48, 64, G, training=True)
+    assert bilstm._use_kernel("lstm", 48, 128, G, training=True)
+    assert bilstm._use_kernel("lstm", 512, 32, G, training=True)   # streams
+    # inference: single-block only
+    assert bilstm._use_kernel("lstm", 48, 64, G, training=False)
+    assert not bilstm._use_kernel("lstm", 48, 128, G, training=False)
+    assert not bilstm._use_kernel("lstm", 512, 32, G, training=False)
+    # GRU mirrors the matrix
+    G3 = 3 * 74
+    assert bilstm._use_kernel("gru", 48, 64, G3, training=True)
+    assert bilstm._use_kernel("gru", 48, 128, G3, training=True)
+    assert bilstm._use_kernel("gru", 48, 64, G3, training=False)
+    assert not bilstm._use_kernel("gru", 48, 128, G3, training=False)
 
 
 @pytest.mark.slow

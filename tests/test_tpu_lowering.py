@@ -165,6 +165,90 @@ def test_gru_scan_lowers_multi_block_grid(monkeypatch):
     _lowers(fwd_bwd, x_proj, w_hh_t, b_hh)
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_stream_lowers_production_geometry(reverse):
+    """Streaming (time-chunked) kernel at the REAL long-seq tower shape the
+    round-4 fallback abandoned: T=512, B=32, H=74 (the bench_t512 towers).
+    The natural geometry must route to streaming and pass full Mosaic
+    lowering (grid over time chunks, revisited h/c scratch carry, boundary
+    blocks) before any TPU time is queued on it."""
+    T, B, H = 512, 32, 74
+    assert plstm._batch_block(B, T, 4 * H) is None          # whole-T cannot fit
+    geom = plstm.stream_geometry(T, B, 4 * H)
+    assert geom is not None and geom[1] < T, geom
+    x_proj = _f32(T, B, 4 * H)
+    w_hh_t = _f32(H, 4 * H)
+    mask = jnp.ones((T, B, 1), jnp.float32)
+
+    def fwd_bwd(x_proj, w_hh_t):
+        def loss(x_proj, w_hh_t):
+            ys, h = plstm.lstm_scan(x_proj, w_hh_t, mask, reverse=reverse)
+            return jnp.sum(ys) + jnp.sum(h)
+        return jax.value_and_grad(loss, argnums=(0, 1))(x_proj, w_hh_t)
+
+    _lowers(fwd_bwd, x_proj, w_hh_t)
+
+
+def test_lstm_stream_lowers_multi_batch_block(monkeypatch):
+    """Streaming with BOTH grid dims > 1 (batch blocks x time chunks): the
+    carry scratch must re-initialize per batch block and the dw shared
+    output block must accumulate across the full 2-D sequential grid."""
+    T, B, H = 64, 64, 128
+    monkeypatch.setattr(plstm, "_FORCE_STREAM_GEOM", (32, 16))  # grid (2, 4)
+    x_proj = _f32(T, B, 4 * H)
+    w_hh_t = _f32(H, 4 * H)
+    mask = jnp.ones((T, B, 1), jnp.float32)
+
+    def fwd_bwd(x_proj, w_hh_t):
+        def loss(x_proj, w_hh_t):
+            ys, h = plstm.lstm_scan(x_proj, w_hh_t, mask, reverse=False)
+            return jnp.sum(ys) + jnp.sum(h)
+        return jax.value_and_grad(loss, argnums=(0, 1))(x_proj, w_hh_t)
+
+    _lowers(fwd_bwd, x_proj, w_hh_t)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_stream_lowers(reverse, monkeypatch):
+    """Streaming GRU at a 2-D grid (2 batch blocks x 4 time chunks) with the
+    extra b_hh input and db shared output block."""
+    T, B, H = 64, 64, 128
+    monkeypatch.setattr(pgru, "_FORCE_STREAM_GEOM", (32, 16))
+    x_proj = _f32(T, B, 3 * H)
+    w_hh_t = _f32(H, 3 * H)
+    b_hh = _f32(1, 3 * H)
+    mask = jnp.ones((T, B, 1), jnp.float32)
+
+    def fwd_bwd(x_proj, w_hh_t, b_hh):
+        def loss(x_proj, w_hh_t, b_hh):
+            ys, h = pgru.gru_scan(x_proj, w_hh_t, b_hh, mask, reverse=reverse)
+            return jnp.sum(ys) + jnp.sum(h)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(x_proj, w_hh_t, b_hh)
+
+    _lowers(fwd_bwd, x_proj, w_hh_t, b_hh)
+
+
+def test_gru_stream_lowers_production_geometry():
+    """Natural streaming routing at the long-T GRU tower shape (T=512, B=32,
+    H=74 towers -> G=222)."""
+    T, B, H = 512, 32, 74
+    assert pgru._batch_block(B, T, 3 * H) is None
+    geom = pgru.stream_geometry(T, B, 3 * H)
+    assert geom is not None and geom[1] < T, geom
+    x_proj = _f32(T, B, 3 * H)
+    w_hh_t = _f32(H, 3 * H)
+    b_hh = _f32(1, 3 * H)
+    mask = jnp.ones((T, B, 1), jnp.float32)
+
+    def fwd_bwd(x_proj, w_hh_t, b_hh):
+        def loss(x_proj, w_hh_t, b_hh):
+            ys, h = pgru.gru_scan(x_proj, w_hh_t, b_hh, mask, reverse=False)
+            return jnp.sum(ys) + jnp.sum(h)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(x_proj, w_hh_t, b_hh)
+
+    _lowers(fwd_bwd, x_proj, w_hh_t, b_hh)
+
+
 @pytest.mark.parametrize("T,B", [(64, 64), (128, 64)])
 def test_lstm_scan_lowers_long_t_small_blocks(T, B):
     """Round-4 footprint gate (_batch_block(B, T, G)) shrinks batch blocks
