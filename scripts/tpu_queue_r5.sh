@@ -34,7 +34,11 @@ case "$BATCH" in
   run bench_stream_lstm 3600 env BENCH_CELL=lstm python benchmarks/bench_stream_rnn.py
   run bench_stream_gru 3600 env BENCH_CELL=gru python benchmarks/bench_stream_rnn.py
   # end-to-end: full MISA step at T=512/B=32 with kernelized towers
-  run bench_t512_stream 3600 env BENCH_B=32 BENCH_T=512 BENCH_STEPS=8 python bench.py
+  # (BENCH_ATTN=auto matches the round-4 187.57 ms comparator row)
+  run bench_t512_stream 3600 env BENCH_B=32 BENCH_T=512 BENCH_STEPS=8 BENCH_ATTN=auto python bench.py
+  # VERDICT #7 (carried from batch 1, which was interrupted after
+  # bench_epoch): one bounded jax.profiler.trace attempt through the relay
+  run profile_probe 1800 python benchmarks/profile_probe.py
   ;;
 3)
   # VERDICT #3: T=512 step gap accounting (subprocess-isolated variants)
