@@ -68,15 +68,35 @@ def main():
         # kernel vs XLA fused scan via BENCH_PALLAS=1/0)
         rnncell=os.environ.get("BENCH_RNNCELL", "lstm"),
     )
+    if os.environ.get("BENCH_DROPOUT0", "0") == "1":
+        # gap-accounting ablation: all dropout off (BERT + model heads) —
+        # the delta vs base is the TOTAL dropout cost in this regime
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, dropout=0.0)
     bert_cfg = BertConfig.base()
     if os.environ.get("BENCH_FUSED_LN", "0") == "1":
         # A/B hook: fused Pallas LN(x + dropout(h)) sites (round 4)
         import dataclasses
 
         bert_cfg = dataclasses.replace(bert_cfg, fused_ln_dropout=True)
-    if cfg.fast_dropout and jax.default_backend() == "tpu":
+    if os.environ.get("BENCH_DROPOUT0", "0") == "1":
+        import dataclasses
+
+        bert_cfg = dataclasses.replace(bert_cfg, hidden_dropout=0.0,
+                                       attention_dropout=0.0)
+    if os.environ.get("BENCH_REMAT", "0") == "1":
+        # gap-accounting ablation: jax.checkpoint each encoder layer
+        # (measured-rejected at S=50 where compute-bound; HBM-bound long-S
+        # economics can differ — VERDICT r4 item 3)
+        import dataclasses
+
+        bert_cfg = dataclasses.replace(bert_cfg, remat=True)
+    if (cfg.fast_dropout and jax.default_backend() == "tpu"
+            and os.environ.get("BENCH_FASTDROP", "1") == "1"):
         # cfg.fast_dropout production default (mirrors Trainer):
         # uint8 dropout draws + masks regenerated in the backward
+        # (BENCH_FASTDROP=0 restores float-draw torch-style dropout)
         import dataclasses
 
         bert_cfg = dataclasses.replace(bert_cfg, dropout_bits=8,
@@ -130,6 +150,24 @@ def main():
         _ = float(losses["total"][-1])              # forces completion
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
+
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        # device-trace capture (the relay exposes xplane as of round 5 —
+        # benchmarks/profile_probe.py); summarize with trace_summary.py.
+        # Free-running per-step dispatch (not the scanned epoch) so the
+        # trace shows per-op events for the SINGLE train step.
+        step = jax.jit(make_train_step(cfg, tx, fwd_fn, bert_cfg,
+                                       donate=False, frozen=frozen))
+        one = Batch(**{k: (v[0] if v is not None else None)
+                       for k, v in batches._asdict().items()})
+        state2, losses2 = step(state, one)          # compile outside trace
+        _ = float(losses2["total"])
+        with jax.profiler.trace(profile_dir):
+            for _ in range(3):
+                state2, losses2 = step(state2, one)
+                _ = float(losses2["total"])
+        print(f"# profile written to {profile_dir}", file=sys.stderr)
 
     per_step = dt / n_steps
     utt_per_sec = B / per_step

@@ -61,9 +61,16 @@ def main():
     summary = tr.train()
     hist = summary["history"]
     for h in hist:
+        # eval_time_s / post_eval_time_s: round-5 phase attribution timers
+        # (train/loop.py) — eval = dev epoch; post = ckpt dispatch + test
+        # metrics + bookkeeping; the remainder vs total is train + collate
+        phases = ""
+        if "eval_time_s" in h:
+            phases = (f"  [eval {h['eval_time_s']:7.2f} s, post-eval "
+                      f"{h['post_eval_time_s']:7.2f} s]")
         print(f"epoch {int(h['epoch'])}: train {h['epoch_time_s']:8.2f} s  "
               f"total {h['epoch_total_time_s']:8.2f} s (incl. dev eval + "
-              f"ckpt dispatch)  train_loss {h['train_loss']:.4f}")
+              f"ckpt dispatch)  train_loss {h['train_loss']:.4f}{phases}")
     # the FINAL epoch always saves the resume checkpoint (loop exit), so use
     # the second-to-last epoch as the checkpoint-free steady state
     steady = hist[-2] if len(hist) > 1 else hist[-1]

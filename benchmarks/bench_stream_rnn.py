@@ -118,7 +118,12 @@ def main():
                 return jnp.sum(v**2) + jnp.sum(a**2)
             return loss
 
-        for mode in ("xla_fused", "stream_pallas"):
+        modes = ("xla_fused", "stream_pallas")
+        if os.environ.get("BENCH_ORDER", "") == "rev":
+            # drift check: any surprising A/B needs the reversed variant
+            # order re-run before acting on it (round-4 wdtype lesson)
+            modes = modes[::-1]
+        for mode in modes:
             loss = make_loss("pallas" if mode == "stream_pallas" else "xla")
             results[f"T{T}_{mode}_fwd"] = timed(
                 loss, params, f"{cell} T={T} {mode} fwd")

@@ -209,14 +209,25 @@ def _pad_inputs(q, k, v, bias, block_q, block_k):
     return q, k, v, bias, Sq, Sk
 
 
+def _flash_blocks() -> tuple:
+    """Default (block_q, block_k) = (128, 128) — the shipped geometry.
+    MMDA_FLASH_BQ / MMDA_FLASH_BK env overrides exist for the block-size
+    sweep (benchmarks/bench_gap_long.py); read at trace time."""
+    import os
+
+    return (int(os.environ.get("MMDA_FLASH_BQ", "128")),
+            int(os.environ.get("MMDA_FLASH_BK", "128")))
+
+
 def _flash_forward(q, k, v, bias, seed, rate: float,
-                   block_q: int = 128, block_k: int = 128):
+                   block_q: int = 0, block_k: int = 0):
     """q,k,v: (BH, S, D) fp32; bias: (BH, S) additive key mask (0 or -inf-ish).
     Returns ((BH, S, D) out, (BH, num_qb * _STAT_SUB, block_q) lse over
     padded rows — row 8*i of the middle dim holds q-block i's stats)."""
     BH, S, D = q.shape
-    block_q = min(block_q, S)
-    block_k = min(block_k, S)
+    dq_, dk_ = _flash_blocks()
+    block_q = min(block_q or dq_, S)
+    block_k = min(block_k or dk_, S)
     q, k, v, bias, Sq, Sk = _pad_inputs(q, k, v, bias, block_q, block_k)
 
     kernel = functools.partial(_flash_kernel, block_k=block_k,
@@ -257,10 +268,11 @@ def _flash_forward(q, k, v, bias, seed, rate: float,
 
 
 def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
-                    block_q: int = 128, block_k: int = 128):
+                    block_q: int = 0, block_k: int = 0):
     BH, S, D = q.shape
-    block_q = min(block_q, S)
-    block_k = min(block_k, S)
+    dq_, dk_ = _flash_blocks()
+    block_q = min(block_q or dq_, S)
+    block_k = min(block_k or dk_, S)
     # zero-pad do so padded q rows contribute nothing to dk/dv
     do = jnp.pad(do, ((0, 0), (0, -(-S // block_q) * block_q - S), (0, 0)))
     q, k, v, bias, Sq, Sk = _pad_inputs(q, k, v, bias, block_q, block_k)

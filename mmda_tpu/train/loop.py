@@ -499,7 +499,10 @@ class Trainer:
             }
             train_avg_loss = round(stacked["total"], 4)
 
+            t_eval0 = time.perf_counter()
             valid_loss, valid_acc, preds, truths = self.evaluate("dev")
+            eval_time = time.perf_counter() - t_eval0
+            t_ckpt0 = time.perf_counter()
 
             # resume checkpoint: every ckpt_interval epochs AND on every loop
             # exit (final epoch, preemption, early stop - see save_last calls
@@ -570,6 +573,12 @@ class Trainer:
                 "valid_acc": valid_acc,
                 "epoch_time_s": round(epoch_time, 3),
                 "epoch_total_time_s": round(epoch_total, 3),
+                # phase attribution (round 5, VERDICT #2): dev eval +
+                # metrics vs checkpoint DISPATCH (saves are async; their
+                # host serialization contends with the NEXT epoch on
+                # 1-core hosts) vs everything else
+                "eval_time_s": round(eval_time, 3),
+                "post_eval_time_s": round(time.perf_counter() - t_ckpt0, 3),
                 "utterances_per_s": round(
                     len(train_loader) * cfg.batch_size / max(epoch_time, 1e-9), 1),
                 **{f"train_{k}": v for k, v in stacked.items() if k != "total"},

@@ -41,10 +41,19 @@ case "$BATCH" in
   run profile_probe 1800 python benchmarks/profile_probe.py
   ;;
 3)
-  # VERDICT #3: T=512 step gap accounting (subprocess-isolated variants)
-  run bench_gap512 7200 python benchmarks/bench_gap_long.py
-  # VERDICT #4: drift-robust serving matrix (interleaved A/B/A, both orders)
-  run bench_serving_r5 7200 python benchmarks/bench_serving_r5.py
+  # GRU T=256 streaming anomaly: reversed-order drift check BEFORE gating
+  # (stream fwd was slower at T=256 than T=512 — physically implausible)
+  run bench_stream_gru256_rev 2400 env BENCH_CELL=gru BENCH_TS=256 BENCH_ORDER=rev python benchmarks/bench_stream_rnn.py
+  # VERDICT #2: epoch re-run with the new per-phase timers
+  # (eval_time_s / post_eval_time_s attribute the 77 s non-train gap)
+  run bench_epoch_phases 3600 env BENCH_EPOCHS=3 python benchmarks/bench_epoch.py
+  # VERDICT #3: T=512 step gap accounting (subprocess-isolated variants,
+  # base-first-and-last drift bound, device trace via BENCH_PROFILE)
+  run bench_gap512 14400 python benchmarks/bench_gap_long.py
+  # VERDICT #4: drift-robust serving matrix (two passes, opposite orders)
+  run bench_serving_r5 10800 python benchmarks/bench_serving_r5.py
+  # VERDICT #4: p50/p99 mixed-bucket latency reload
+  run bench_serving_mixed 3600 python benchmarks/bench_serving.py --sections mixed
   ;;
 *)
   echo "unknown batch $BATCH"; exit 2;;

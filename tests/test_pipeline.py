@@ -213,3 +213,60 @@ def test_pipeline_validation_errors():
     nopipe = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
     with pytest.raises(ValueError):
         pl.pipeline_bert_encode(params, cfg, ids, mask, nopipe, 4)
+
+
+def test_pipeline_hlo_ring_permute_schedule():
+    """The collective signature of the GPipe schedule (VERDICT r4 #6): the
+    compiled forward must contain the stage-ring `collective-permute` (one
+    hop per scan tick; the scan compiles to a while loop so it appears once
+    textually with the FULL ring in source_target_pairs), the dense encoder
+    must contain none, and the grad must additionally contain the INVERSE
+    ring — ppermute's transpose IS the reverse schedule
+    (parallel/pipeline.py docstring).  A regression that drops the shard_map
+    (e.g. running all stages densely on every device) passes every
+    equivalence test above while doing pp times the work; this pins the
+    compiled evidence."""
+    import re
+
+    cfg, params, ids, mask = _setup()
+    mesh = pl.make_pipe_mesh(pp=4, dp=2)
+
+    def pairsets(txt):
+        out = []
+        for m in re.finditer(
+                r"collective-permute[^\n]*source_target_pairs="
+                r"(\{(?:\{\d+,\d+\},?)+\})", txt):
+            out.append(frozenset(
+                tuple(map(int, p.split(",")))
+                for p in re.findall(r"\{(\d+,\d+)\}", m.group(1))))
+        return out
+
+    def loss_pl(p):
+        out = pl.pipeline_bert_encode(p, cfg, ids, mask, mesh, 4,
+                                      deterministic=True,
+                                      compute_dtype=jnp.float32)
+        return (out ** 2).mean()
+
+    def loss_dense(p):
+        out = jbert.bert_encode(p, cfg, ids, mask, deterministic=True,
+                                compute_dtype=jnp.float32)
+        return (out ** 2).mean()
+
+    txt_dense = jax.jit(jax.grad(loss_dense)).lower(params).compile().as_text()
+    assert "collective-permute" not in txt_dense
+
+    txt_fwd = jax.jit(loss_pl).lower(params).compile().as_text()
+    fwd_rings = pairsets(txt_fwd)
+    assert fwd_rings, "pipelined forward lost its collective-permute"
+    # the schedule hop is a single cycle covering every device: 8 edges,
+    # in-degree == out-degree == 1
+    ring = max(fwd_rings, key=len)
+    assert len(ring) == 8, ring
+    assert {s for s, _ in ring} == {t for _, t in ring} == set(range(8)), ring
+
+    txt_grad = jax.jit(jax.grad(loss_pl)).lower(params).compile().as_text()
+    grad_rings = pairsets(txt_grad)
+    inverse = frozenset((t, s) for s, t in ring)
+    assert ring in grad_rings, "grad lost the forward schedule hop"
+    assert inverse in grad_rings, (
+        "grad lost the transposed (reverse-schedule) hop")

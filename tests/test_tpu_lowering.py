@@ -67,6 +67,26 @@ def test_flash_attention_lowers(S):
     _lowers(fwd_bwd, q, k, v)
 
 
+@pytest.mark.parametrize("bq,bk", [(256, 256), (128, 512), (64, 128)])
+def test_flash_attention_lowers_block_sweep(bq, bk, monkeypatch):
+    """The MMDA_FLASH_BQ/BK env override (bench_gap_long.py block-size
+    sweep) changes the lse/dsum sidecar and bias-block geometries — every
+    sweep point must pass Mosaic lowering before TPU time is queued."""
+    monkeypatch.setenv("MMDA_FLASH_BQ", str(bq))
+    monkeypatch.setenv("MMDA_FLASH_BK", str(bk))
+    BH, S, D = 8, 512, 64
+    q, k, v = _f32(BH, S, D), _f32(BH, S, D), _f32(BH, S, D)
+    bias = jnp.zeros((BH, S), jnp.float32)
+
+    def fwd_bwd(q, k, v):
+        out, vjp = jax.vjp(
+            lambda q, k, v: pattn.flash_attention(q, k, v, bias, SEED, 0.1),
+            q, k, v)
+        return out, vjp(out)
+
+    _lowers(fwd_bwd, q, k, v)
+
+
 def test_short_attention_lowers_headline_shape():
     B, nh, S, hd = 64, 12, 50, 64
     q, k, v = _f32(B, nh, S, hd), _f32(B, nh, S, hd), _f32(B, nh, S, hd)
