@@ -34,12 +34,22 @@ def main():
     from mmda_tpu.train.loop import Trainer
 
     n_epoch = int(os.environ.get("BENCH_EPOCHS", "3"))
+    # BENCH_COMPILED=1: chunked-scan train epochs (host-side stacking,
+    # Trainer._run_compiled_epoch).  The round-2 rejection of compiled
+    # epochs (11.1-12.5 s vs 8.9 free-running) measured the OLD device-side
+    # stacking; the ROADMAP #11 host-stack rewrite was never re-timed on
+    # hardware.  bench.py's fully pre-stacked scan reaches 18.25 ms/step vs
+    # the 27.0 ms/step effective of free-running dispatch here — this hook
+    # measures whether chunked scans close that gap in the real Trainer.
+    compiled = os.environ.get("BENCH_COMPILED", "0") == "1"
     cfg = Config(
         use_bert=True, batch_size=64, compute_dtype="bfloat16",
         data="mosei", name="bench_epoch", n_epoch=n_epoch,
         bucket_sizes=(16, 32, 48), max_seq_len=48,
         # production defaults: per-step train (pipelines through the relay)
         # + compiled eval epoch
+        compiled_epoch=compiled,
+        scan_chunk=int(os.environ.get("BENCH_SCAN_CHUNK", "16")),
         ckpt_interval=1000,             # resume-ckpt serialization measured
                                         # separately below (it is host-CPU
                                         # bound: ~minutes/GB on this 1-core
