@@ -463,12 +463,22 @@ def kernelizable(T: int, B: int, G: int) -> bool:
 
 
 def _route(T: int, B: int, G: int):
+    """Same preference order as lstm._route (see its docstring): ungridded
+    whole-T first; at T>=256 prefer streaming over a NARROWER gridded
+    whole-T block (the round-5 GRU T=256 mis-route: whole-T bb=8 serialized
+    4 batch blocks x 256 steps and measured 10.4 ms vs the XLA scan's 5.7 —
+    the GRU's 3-gate footprint let whole-T 'fit' where the LSTM's would
+    not, which is why only the GRU hit this); gridded whole-T otherwise."""
     if _FORCE_STREAM_GEOM is not None:
         return ("stream", _FORCE_STREAM_GEOM)
     bb = _batch_block(B, T, G)
-    if bb is not None:
+    if bb == B:
         return ("whole", bb)
     geom = stream_geometry(T, B, G)
+    if geom is not None and T >= 256 and (bb is None or geom[0] > bb):
+        return ("stream", geom)
+    if bb is not None:
+        return ("whole", bb)
     if geom is not None:
         return ("stream", geom)
     raise ValueError(

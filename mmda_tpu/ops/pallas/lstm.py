@@ -590,13 +590,32 @@ def set_force_stream(geom: Optional[tuple]) -> None:
 
 def _route(T: int, B: int, G: int):
     """('whole', BB) | ('stream', (BB, TC)).  Raises when neither fits —
-    callers must gate on kernelizable() and take the XLA scan path."""
+    callers must gate on kernelizable() and take the XLA scan path.
+
+    Preference order (every branch hardware-measured, RESULTS.md round-5):
+      1. whole-T UNGRIDDED (bb == B) — best at short T (headline shapes).
+      2. at long T (>=256): streaming when it keeps a WIDER batch block
+         than the gridded whole-T kernel.  Gridded whole-T serializes
+         B/bb batch blocks on the sequential grid, each a full T-step
+         scan — B/bb times the recurrence latency.  This mis-route was
+         found by the round-5 GRU T=256 "anomaly": whole-T bb=8 measured
+         10.4 ms where the XLA scan runs 5.7 (both variant orders agreed);
+         T=512, where whole-T no longer fits and streaming engages, won
+         by -53%.
+      3. gridded whole-T (bb < B) — still the measured TRAINING win at
+         short T (B=128/T=48: -13% vs the XLA scan, round-4 continuation);
+         kept for T < 256 pending a streaming A/B at that shape.
+    """
     if _FORCE_STREAM_GEOM is not None:
         return ("stream", _FORCE_STREAM_GEOM)
     bb = _batch_block(B, T, G)
-    if bb is not None:
+    if bb == B:
         return ("whole", bb)
     geom = stream_geometry(T, B, G)
+    if geom is not None and T >= 256 and (bb is None or geom[0] > bb):
+        return ("stream", geom)
+    if bb is not None:
+        return ("whole", bb)
     if geom is not None:
         return ("stream", geom)
     raise ValueError(

@@ -489,6 +489,13 @@ class Trainer:
                     f"{self.meta.num_train} rows but batch_size="
                     f"{cfg.batch_size} with drop_last — shrink batch_size "
                     "or grow the dataset")
+            # ONE batched device->host transfer for the whole epoch's loss
+            # pytree.  Per-array np.asarray here cost ~32 ms EACH through
+            # the relay — ~253 steps x ~10 keys ~= 68 s/epoch, found by the
+            # round-5 phase timers as the gap between train end and dev
+            # eval (bench_epoch_phases.log; same lesson as the round-2
+            # serving fix, benchmarks/RESULTS.md).
+            epoch_losses = jax.device_get(epoch_losses)
             keys = set(epoch_losses[0])
             for l in epoch_losses[1:]:
                 keys &= set(l)
@@ -728,8 +735,10 @@ class Trainer:
                 conf_losses.append(losses["conf"])
             self.logger.log({
                 "stage2_epoch": e,
+                # one batched readback (per-array np.asarray is ~32 ms each
+                # through the relay — the round-5 epoch_losses lesson)
                 "stage2_conf_loss": float(np.mean(
-                    [np.asarray(l) for l in conf_losses])),
+                    jax.device_get(conf_losses))),
             })
         self.state = state
         pending = ckpt.save_checkpoint(

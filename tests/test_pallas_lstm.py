@@ -295,6 +295,34 @@ def test_training_vs_inference_kernel_routing():
     assert not bilstm._use_kernel("gru", 48, 128, G3, training=False)
 
 
+def test_route_prefers_streaming_over_gridded_whole_at_long_t():
+    """The round-5 GRU T=256 mis-route regression (RESULTS.md round-5): the
+    3-gate GRU's whole-T kernel still 'fits' at T=256/B=32 with a GRIDDED
+    bb=8 block, which serializes 4 batch blocks x 256 steps and measured
+    10.4 ms where the XLA scan runs 5.7 (both variant orders).  _route must
+    prefer the streaming kernel whenever T>=256 and streaming keeps a wider
+    batch block — in BOTH cells — while leaving the measured short-T
+    decisions untouched (ungridded whole at the headline shapes; gridded
+    whole at B=128/T=48 where it won training by -13%)."""
+    from mmda_tpu.ops.pallas import gru as pgru
+
+    # the mis-routed shape: whole-T fits only gridded (bb=8) -> stream
+    assert pgru._batch_block(32, 256, 3 * 35) not in (None, 32)
+    mode, geom = pgru._route(256, 32, 3 * 35)
+    assert mode == "stream" and geom[0] == 32, (mode, geom)
+    # T=512: whole-T cannot fit at all -> stream (unchanged)
+    assert pgru._route(512, 32, 3 * 74)[0] == "stream"
+    # headline shapes: ungridded whole-T (unchanged)
+    assert pgru._route(48, 64, 3 * 74) == ("whole", 64)
+    # short-T gridded whole-T preserved (measured training win at B=128)
+    mode, bb = pgru._route(48, 128, 3 * 35)
+    assert mode == "whole" and bb < 128
+    # LSTM: same preference code path (its footprint already streams at
+    # these shapes, so only the T>=256 branches are reachable)
+    assert plstm._route(256, 32, 4 * 35)[0] == "stream"
+    assert plstm._route(48, 64, 4 * 74) == ("whole", 64)
+
+
 @pytest.mark.slow
 def test_small_block_grid_matches_xla_scan():
     """The new footprint-gated small-block geometry (BB=8 at T=128, grid>1)
