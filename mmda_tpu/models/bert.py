@@ -595,9 +595,16 @@ def bert_layer(x, lp, layer_rngs, *, cfg: BertConfig, attn_bias, dropout,
             seed = None
         q, k, v = heads(q), heads(k), heads(v)
         key_bias = jnp.repeat(attn_bias[:, 0, 0], nh, axis=0)  # (B*nh, S)
-        ctx = flash_attention(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            v.astype(jnp.float32), key_bias, seed, rate).astype(compute_dtype)
+        # q/k/v go in at compute_dtype (bf16 on TPU): the kernel's matmuls
+        # run in the operand dtype with f32 accumulation, so bf16 operands
+        # use the MXU at native throughput — the f32 upcast that used to sit
+        # here made the flash kernels 46.6% of the T=512 step (round-5
+        # device trace, benchmarks/RESULTS.md).  MMDA_FLASH_F32=1 restores
+        # the upcast for the A/B ablation (bench_gap_long.py; trace time).
+        if os.environ.get("MMDA_FLASH_F32"):
+            q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
+        ctx = flash_attention(q, k, v, key_bias, seed, rate).astype(
+            compute_dtype)
         ctx = ctx.reshape(B, nh, S, hd).transpose(0, 2, 1, 3).reshape(B, S, H)
     else:
         q, k, v = heads(q), heads(k), heads(v)

@@ -87,8 +87,16 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     With rate > 0 the accumulator uses DROPPED probs while the softmax
     denominator keeps the raw probs (dropout applies to normalized probs,
     exactly like the XLA path's post-softmax mask).  lse = m + log(l) is
-    written per row for the backward's probs recomputation."""
-    q = q_ref[0] * scale                              # (Bq, D)
+    written per row for the backward's probs recomputation.
+
+    Matmul operands stay in the INPUT dtype (bf16 from the model on TPU —
+    the v5e MXU is bf16-native; the round-5 T=512 device trace put these
+    kernels at 46.6% of the step with f32 operands); accumulation, softmax
+    stats, and the running max/denom are always f32
+    (preferred_element_type), and probs are cast back to the operand dtype
+    only at the PV matmul — the standard flash mixed-precision split.
+    Scaling moved AFTER the QK^T dot so bf16 q is never pre-scaled."""
+    q = q_ref[0]                                      # (Bq, D), input dtype
     S = k_ref.shape[1]
     Bq, D = q.shape
     bh = pl.program_id(0)
@@ -105,7 +113,8 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         k = k_ref[0, pl.ds(i * block_k, block_k), :]  # (Bk, D)
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         b = bias_ref[0, i, :]                          # (Bk,)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b[None, :]
+        s = (jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+             + b[None, :])
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -116,7 +125,8 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
             pd = p * keep * (1.0 / (1.0 - rate))
         else:
             pd = p
-        acc = acc * alpha + jnp.dot(pd, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(pd.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
         m = m_new
     o_ref[0] = acc / l
     lse_ref[0] = jnp.broadcast_to((m + jnp.log(l))[:, 0][None, :],
@@ -127,9 +137,11 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                    dsum_ref, dq_ref, *, block_k: int, block_q: int,
                    scale: float, rate: float):
     """Grid (BH, num_qb): one dq block per program, static loop over K
-    blocks recomputing probs from lse.  dsum is D_i = rowsum(do * o)."""
-    q = q_ref[0] * scale                              # (Bq, D)
-    do = do_ref[0].astype(jnp.float32)
+    blocks recomputing probs from lse.  dsum is D_i = rowsum(do * o).
+    Matmul operands in the input dtype, f32 accumulation (see
+    _flash_kernel); ds is cast to the operand dtype only at the dq dot."""
+    q = q_ref[0]                                      # (Bq, D), input dtype
+    do = do_ref[0]                                    # (Bq, D), input dtype
     lse = lse_ref[0, 0][:, None]                      # (Bq, 1)
     dsum = dsum_ref[0, 0][:, None]                    # (Bq, 1)
     S = k_ref.shape[1]
@@ -138,12 +150,13 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     seed = seed_ref[0]
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
 
-    dq = jnp.zeros_like(q)
+    dq = jnp.zeros(q.shape, jnp.float32)
     for i in range(S // block_k):
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         b = bias_ref[0, i, :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b[None, :]
+        s = (jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+             + b[None, :])
         p = jnp.exp(s - lse)                           # true probs tile
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         if rate > 0.0:
@@ -151,16 +164,19 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                               qb * block_q, i * block_k) * inv
             dp = dp * keep
         ds = p * (dp - dsum)
-        dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
-    dq_ref[0] = dq * scale
+        dq = dq + jnp.dot(ds.astype(k.dtype), k,
+                          preferred_element_type=jnp.float32)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                     dsum_ref, dk_ref, dv_ref, *, block_k: int, block_q: int,
                     scale: float, rate: float):
     """Grid (BH, num_kb): one (dk, dv) block per program, static loop over Q
-    blocks.  Padded q rows carry do = 0, so they contribute nothing."""
-    k = k_ref[0]                                       # (Bk, D)
+    blocks.  Padded q rows carry do = 0, so they contribute nothing.
+    Matmul operands in the input dtype, f32 accumulation (see
+    _flash_kernel); probs/ds cast to the operand dtype only at the dots."""
+    k = k_ref[0]                                       # (Bk, D), input dtype
     v = v_ref[0]
     b = bias_ref[0, 0, :]                              # (Bk,) — row 0 of the
     # (1, _STAT_SUB, Bk) per-k-block bias group (see _flash_backward)
@@ -170,14 +186,15 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     seed = seed_ref[0]
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
 
-    dk = jnp.zeros_like(k)
-    dv = jnp.zeros_like(v)
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
     for j in range(Sq // block_q):
-        q = q_ref[0, pl.ds(j * block_q, block_q), :] * scale
-        do = do_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(j * block_q, block_q), :]
+        do = do_ref[0, pl.ds(j * block_q, block_q), :]
         lse = lse_ref[0, j * _STAT_SUB, :][:, None]    # (Bq, 1)
         dsum = dsum_ref[0, j * _STAT_SUB, :][:, None]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b[None, :]
+        s = (jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+             + b[None, :])
         p = jnp.exp(s - lse)
         if rate > 0.0:
             keep = _keep_mask(p.shape, rate, seed, bh,
@@ -186,14 +203,16 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         else:
             keep = None
             pd = p
-        dv = dv + jnp.dot(pd.T, do, preferred_element_type=jnp.float32)
+        dv = dv + jnp.dot(pd.astype(do.dtype).T, do,
+                          preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         if keep is not None:
             dp = dp * keep
         ds = p * (dp - dsum)
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
-    dk_ref[0] = dk                                     # q already scaled
-    dv_ref[0] = dv
+        dk = dk + jnp.dot(ds.astype(q.dtype).T, q,
+                          preferred_element_type=jnp.float32)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _pad_inputs(q, k, v, bias, block_q, block_k):
@@ -221,9 +240,10 @@ def _flash_blocks() -> tuple:
 
 def _flash_forward(q, k, v, bias, seed, rate: float,
                    block_q: int = 0, block_k: int = 0):
-    """q,k,v: (BH, S, D) fp32; bias: (BH, S) additive key mask (0 or -inf-ish).
-    Returns ((BH, S, D) out, (BH, num_qb * _STAT_SUB, block_q) lse over
-    padded rows — row 8*i of the middle dim holds q-block i's stats)."""
+    """q,k,v: (BH, S, D) f32 or bf16 (matmuls run in the input dtype with
+    f32 accumulation); bias: (BH, S) f32 additive key mask (0 or -inf-ish).
+    Returns ((BH, S, D) f32 out, (BH, num_qb * _STAT_SUB, block_q) f32 lse
+    over padded rows — row 8*i of the middle dim holds q-block i's stats)."""
     BH, S, D = q.shape
     dq_, dk_ = _flash_blocks()
     block_q = min(block_q or dq_, S)
@@ -273,16 +293,19 @@ def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
     dq_, dk_ = _flash_blocks()
     block_q = min(block_q or dq_, S)
     block_k = min(block_k or dk_, S)
-    # zero-pad do so padded q rows contribute nothing to dk/dv
-    do = jnp.pad(do, ((0, 0), (0, -(-S // block_q) * block_q - S), (0, 0)))
+    # D_i = rowsum(do * o) in f32 BEFORE do drops to the operand dtype: one
+    # cheap fused elementwise+reduce under XLA, laid out like lse
+    # ((BH, num_qb * _STAT_SUB, block_q), see _STAT_SUB)
+    dsum = jnp.sum(do.astype(jnp.float32) * o, axis=-1)
+    # zero-pad do so padded q rows contribute nothing to dk/dv; the kernels
+    # take do in the q/k/v operand dtype (bf16 on TPU — see _flash_kernel)
+    do = jnp.pad(do.astype(q.dtype),
+                 ((0, 0), (0, -(-S // block_q) * block_q - S), (0, 0)))
     q, k, v, bias, Sq, Sk = _pad_inputs(q, k, v, bias, block_q, block_k)
     num_kb = Sk // block_k
     num_qb = Sq // block_q
     bias_blocks = bias.reshape(BH, num_kb, block_k)
 
-    # D_i = rowsum(do * o): one cheap fused elementwise+reduce under XLA,
-    # laid out like lse ((BH, num_qb * _STAT_SUB, block_q), see _STAT_SUB)
-    dsum = jnp.sum(do[:, :S, :] * o, axis=-1)
     dsum = jnp.pad(dsum, ((0, 0), (0, Sq - S)))
     dsum = jnp.broadcast_to(
         dsum.reshape(BH, num_qb, 1, block_q),
@@ -313,7 +336,7 @@ def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
                                memory_space=pltpu.VMEM),
                   qblk(), rows_blk(), rows_blk()],
         out_specs=qblk(),
-        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
         interpret=_interpret(),
     )(seed, q, k, v, bias_blocks, do, lse, dsum)
 
@@ -338,7 +361,8 @@ def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((BH, Sk, D), jnp.float32),) * 2,
+        out_shape=(jax.ShapeDtypeStruct((BH, Sk, D), k.dtype),
+                   jax.ShapeDtypeStruct((BH, Sk, D), v.dtype)),
         interpret=_interpret(),
     )(seed, q, k, v, bias8, do, lse, dsum)
 
@@ -358,9 +382,12 @@ def _xla_attention(q, k, v, bias):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def flash_attention(q, k, v, bias, seed=None, rate: float = 0.0):
     """Non-causal attention with additive key bias and optional in-kernel
-    attention-probs dropout.  q,k,v: (BH, S, D) fp32; bias: (BH, S);
-    seed: (1,) int32 (ignored when rate == 0); rate: dropout probability.
-    O(S) memory forward AND backward (blockwise probs recomputation)."""
+    attention-probs dropout.  q,k,v: (BH, S, D) f32 or bf16 (bf16 operands
+    run the MXU at native throughput; accumulation and softmax stats are
+    always f32, output is f32); bias: (BH, S) f32; seed: (1,) int32
+    (ignored when rate == 0); rate: dropout probability.  O(S) memory
+    forward AND backward (blockwise probs recomputation).  Grads match the
+    q/k/v input dtypes."""
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     return _flash_forward(q, k, v, bias, seed, rate)[0]

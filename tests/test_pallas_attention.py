@@ -229,3 +229,59 @@ def test_misa_forward_flash_flag_matches():
     out1 = fwd_fn(params, cfg1, batch, bert_cfg=bert_cfg, deterministic=True)
     np.testing.assert_allclose(np.asarray(out1.scores), np.asarray(out0.scores),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_flash_bf16_operands_match_f32_oracle():
+    """Round-5 mixed precision: bf16 q/k/v run the kernel's matmuls in bf16
+    with f32 accumulation and f32 softmax stats (the T=512 trace showed the
+    f32-operand kernels at 46.6% of the step; bf16 is the v5e MXU's native
+    rate).  fwd and grads must match the f32 XLA oracle applied to the SAME
+    bf16-rounded values within bf16 matmul round-off; the output stays f32
+    and the grads come back in the bf16 input dtype (custom_vjp contract)."""
+    BH, S, D = 4, 300, 8   # 300: multi-K-block path + padding
+    q16 = jnp.array(RNG.normal(size=(BH, S, D)), jnp.bfloat16)
+    k16 = jnp.array(RNG.normal(size=(BH, S, D)), jnp.bfloat16)
+    v16 = jnp.array(RNG.normal(size=(BH, S, D)), jnp.bfloat16)
+    mask = np.ones((BH, S), np.float32)
+    mask[1, S // 2:] = 0
+    bias = jnp.array((1.0 - mask) * fa.NEG_INF)
+    g = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+
+    q, k, v = (t.astype(jnp.float32) for t in (q16, k16, v16))
+    want = fa._xla_attention(q, k, v, bias)
+    got = fa.flash_attention(q16, k16, v16, bias)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss16(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, bias) * g)
+
+    def loss32(q, k, v):
+        return jnp.sum(fa._xla_attention(q, k, v, bias) * g)
+
+    g16 = jax.grad(loss16, argnums=(0, 1, 2))(q16, k16, v16)
+    g32 = jax.grad(loss32, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g16, g32):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b),
+                                   rtol=5e-2, atol=5e-2)
+
+
+def test_flash_bf16_dropout_mask_matches_f32():
+    """The in-kernel dropout keep mask is a pure function of (seed, bh,
+    position) — it must select the SAME positions regardless of operand
+    dtype, so the bf16 and f32 kernels agree to round-off with rate > 0."""
+    BH, S, D = 3, 200, 8
+    rate = 0.3
+    seed = jnp.array([77], jnp.int32)
+    q16 = jnp.array(RNG.normal(size=(BH, S, D)), jnp.bfloat16)
+    k16 = jnp.array(RNG.normal(size=(BH, S, D)), jnp.bfloat16)
+    v16 = jnp.array(RNG.normal(size=(BH, S, D)), jnp.bfloat16)
+    bias = jnp.zeros((BH, S), jnp.float32)
+
+    f32 = fa.flash_attention(*(t.astype(jnp.float32) for t in (q16, k16, v16)),
+                             bias, seed, rate)
+    b16 = fa.flash_attention(q16, k16, v16, bias, seed, rate)
+    np.testing.assert_allclose(np.asarray(b16), np.asarray(f32),
+                               rtol=2e-2, atol=2e-2)

@@ -87,6 +87,30 @@ def test_flash_attention_lowers_block_sweep(bq, bk, monkeypatch):
     _lowers(fwd_bwd, q, k, v)
 
 
+@pytest.mark.parametrize("bq,bk", [(128, 128), (64, 128)])
+def test_flash_attention_lowers_bf16(bq, bk, monkeypatch):
+    """bf16 operands (the round-5 mixed-precision kernel) change the Mosaic
+    tile rules — bf16 minimum tile is (16, 128), not (8, 128) — and the
+    dq/dk/dv out_shapes now carry the input dtype.  Multi-block S=512 at the
+    shipped geometry and at the narrowest swept q-block must cross-lower
+    BEFORE any TPU time is queued on the bf16 kernel (round-4 discipline)."""
+    monkeypatch.setenv("MMDA_FLASH_BQ", str(bq))
+    monkeypatch.setenv("MMDA_FLASH_BK", str(bk))
+    BH, S, D = 8, 512, 64
+    q = jnp.asarray(RNG.normal(size=(BH, S, D)), jnp.bfloat16)
+    k = jnp.asarray(RNG.normal(size=(BH, S, D)), jnp.bfloat16)
+    v = jnp.asarray(RNG.normal(size=(BH, S, D)), jnp.bfloat16)
+    bias = jnp.zeros((BH, S), jnp.float32)
+
+    def fwd_bwd(q, k, v):
+        out, vjp = jax.vjp(
+            lambda q, k, v: pattn.flash_attention(q, k, v, bias, SEED, 0.1),
+            q, k, v)
+        return out, vjp(out)
+
+    _lowers(fwd_bwd, q, k, v)
+
+
 def test_short_attention_lowers_headline_shape():
     B, nh, S, hd = 64, 12, 50, 64
     q, k, v = _f32(B, nh, S, hd), _f32(B, nh, S, hd), _f32(B, nh, S, hd)
