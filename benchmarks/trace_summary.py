@@ -87,6 +87,7 @@ def summarize(path: str, steps: int, top: int) -> None:
         return
 
     by_scope = collections.Counter()
+    by_pair = collections.Counter()
     by_src = collections.Counter()
     by_cat = collections.Counter()
     by_dir = collections.Counter()
@@ -103,6 +104,7 @@ def summarize(path: str, steps: int, top: int) -> None:
         scope = scope_of(tf_op)
         total_us += dur
         by_scope[scope] += dur
+        by_pair[(scope, src)] += dur
         by_src[src] += dur
         by_cat[a.get("hlo_category", "<none>")] += dur
         by_dir[direction_of(tf_op)] += dur
@@ -134,6 +136,11 @@ def summarize(path: str, steps: int, top: int) -> None:
     print(f"\n-- by HLO category --")
     for k, v in by_cat.most_common():
         print(f"  {v / ms:9.3f} ms  {100 * v / total_us:5.1f}%  {k}")
+
+    print(f"\n-- by (scope, source) (top {top}) --")
+    for (s, src), v in by_pair.most_common(top):
+        print(f"  {v / ms:9.3f} ms  {100 * v / total_us:5.1f}%  "
+              f"{s[:40]:40s} {src}")
 
 
 def main() -> None:

@@ -215,6 +215,194 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Ragged-Q variants (round 5).  BERT sequences are text_len + 2 specials
+# (data/loader.py:47), so every real long-seq shape (S = 514, 1026, ...) is
+# NOT a multiple of the 128 flash block: the gridded kernels above pad BOTH
+# sides to the block (514 -> 640), wasting ~55% of the QK/PV FLOPs and
+# ~15.8 ms/step of pad/slice HLOs at T=512 (round-5 device trace,
+# benchmarks/RESULTS.md).  The ragged kernels pad the Q side only to the
+# 8-row sublane tile (514 -> 520; block dim == array dim is always
+# tile-legal) and keep the uniform 128-wide K chunks, so the waste drops to
+# the K side's tail block.  Three layout rules make this Mosaic-legal:
+#   * whole-(S8, D) blocks per program; every in-kernel slice is on the
+#     SUBLANE dim with 8-aligned static offsets (lane slicing is never
+#     attempted);
+#   * lse/dsum move to a lanes-broadcast (BH, S8, 8) layout, read back with
+#     a lane-min reduction instead of a lane slice;
+#   * the bias keeps the gridded layouts ((BH, num_kb, block_k) fwd/dq,
+#     sublane-8 grouped for dkv), indexed by scalar sublane rows.
+# Routing: engaged when S % block_q != 0 and the whole-S residency fits the
+# scoped-VMEM budget; MMDA_FLASH_RAGGED=0 forces the gridded path (hardware
+# A/B ablation).  Replaces the cuDNN-style fixed-tile attention of the
+# reference (/root/reference/src/models.py bert encoder) in the regime the
+# reference never kernelized.
+# ---------------------------------------------------------------------------
+
+_RAGGED_LANE = 8  # lse/dsum lane width in ragged mode (broadcast copies)
+
+
+def _ceil8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _q_chunks(S8: int, block_q: int):
+    """Static (start, size) partition of the padded-Q extent: uniform
+    block_q rows with an 8-aligned ragged tail (S8 is a multiple of 8, so
+    every start/size is sublane-aligned)."""
+    chunks, s = [], 0
+    while s < S8:
+        sz = min(block_q, S8 - s)
+        chunks.append((s, sz))
+        s += sz
+    return tuple(chunks)
+
+
+def _ragged_fits(S: int, D: int, block_q: int, block_k: int,
+                 itemsize: int) -> bool:
+    """Scoped-VMEM estimate of the binding ragged kernel (dq: whole q, k,
+    v, do, dq resident + the (S8, block_k) f32 tiles).  Blocked refs are
+    double-buffered across the (BH,) grid.  Same 15.5 MiB budget as the
+    recurrence kernels (ops/pallas/lstm.py::_VMEM_BUDGET rationale)."""
+    S8 = _ceil8(S)
+    Sk = -(-S // block_k) * block_k
+    ins = (2 * S8 * D * itemsize        # q, do
+           + 2 * Sk * D * itemsize      # k, v
+           + Sk * 4                     # bias blocks (f32)
+           + 2 * S8 * _RAGGED_LANE * 4)  # lse, dsum
+    outs = S8 * D * 4                   # dq / o (f32-width worst case)
+    tiles = 3 * S8 * max(block_k, block_q) * 4   # s, p, keep working set
+    acc = S8 * D * 4                    # f32 accumulator (fwd acc / dq)
+    return 2 * (ins + outs) + tiles + acc <= int(15.5 * 2**20)
+
+
+def _ragged_mode(S: int, D: int, block_q: int, block_k: int,
+                 itemsize: int) -> bool:
+    import os
+
+    if os.environ.get("MMDA_FLASH_RAGGED", "1") == "0":
+        return False
+    return (S % block_q != 0
+            and _ragged_fits(S, D, block_q, block_k, itemsize))
+
+
+def _flash_kernel_ragged(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                         lse_ref, *, block_k: int, scale: float,
+                         rate: float):
+    """Grid (BH,): whole-(S8, D) q per program, static loop over uniform K
+    chunks.  Identical math to _flash_kernel with qb == 0 (the dropout mask
+    is a pure function of absolute positions, so any tiling reproduces
+    it)."""
+    q = q_ref[0]                                      # (S8, D), input dtype
+    Sk = k_ref.shape[1]
+    S8, D = q.shape
+    bh = pl.program_id(0)
+    seed = seed_ref[0]
+
+    m = jnp.full((S8, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((S8, 1), jnp.float32)
+    acc = jnp.zeros((S8, D), jnp.float32)
+    for i in range(Sk // block_k):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        b = bias_ref[0, i, :]
+        s = (jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+             + b[None, :])
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed, bh, 0, i * block_k)
+            pd = p * keep * (1.0 / (1.0 - rate))
+        else:
+            pd = p
+        acc = acc * alpha + jnp.dot(pd.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
+        m = m_new
+    o_ref[0] = acc / l
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (S8, _RAGGED_LANE))
+
+
+def _bwd_dq_kernel_ragged(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                          lse_ref, dsum_ref, dq_ref, *, block_k: int,
+                          scale: float, rate: float):
+    """Grid (BH,): whole-(S8, D) dq per program, static loop over K chunks.
+    lse/dsum arrive lanes-broadcast (S8, _RAGGED_LANE); a lane-min recovers
+    the column (all lanes are identical copies)."""
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = jnp.min(lse_ref[0], axis=1, keepdims=True)   # (S8, 1)
+    dsum = jnp.min(dsum_ref[0], axis=1, keepdims=True)
+    Sk = k_ref.shape[1]
+    bh = pl.program_id(0)
+    seed = seed_ref[0]
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    for i in range(Sk // block_k):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        b = bias_ref[0, i, :]
+        s = (jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+             + b[None, :])
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed, bh, 0, i * block_k) * inv
+            dp = dp * keep
+        ds = p * (dp - dsum)
+        dq = dq + jnp.dot(ds.astype(k.dtype), k,
+                          preferred_element_type=jnp.float32)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_ragged(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                           lse_ref, dsum_ref, dk_ref, dv_ref, *,
+                           q_chunks, block_k: int, scale: float,
+                           rate: float):
+    """Grid (BH, num_kb): one (dk, dv) block per program (as the gridded
+    kernel), static loop over the UNEVEN q chunks of the whole-(S8, D)
+    q/do refs (sublane slices, 8-aligned by _q_chunks).  Padded q rows
+    carry do = 0 and dsum = 0, so they contribute nothing."""
+    k = k_ref[0]                                       # (Bk, D)
+    v = v_ref[0]
+    b = bias_ref[0, 0, :]                              # (Bk,) row 0 of the
+    # sublane-8 grouped per-k-block bias (see _flash_backward)
+    bh = pl.program_id(0)
+    kb = pl.program_id(1)
+    seed = seed_ref[0]
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
+    for (c0, cs) in q_chunks:
+        q = q_ref[0, pl.ds(c0, cs), :]
+        do = do_ref[0, pl.ds(c0, cs), :]
+        lse = jnp.min(lse_ref[0, pl.ds(c0, cs), :], axis=1, keepdims=True)
+        dsum = jnp.min(dsum_ref[0, pl.ds(c0, cs), :], axis=1, keepdims=True)
+        s = (jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+             + b[None, :])
+        p = jnp.exp(s - lse)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate, seed, bh,
+                              c0, kb * block_k) * inv
+            pd = p * keep
+        else:
+            keep = None
+            pd = p
+        dv = dv + jnp.dot(pd.astype(do.dtype).T, do,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if keep is not None:
+            dp = dp * keep
+        ds = p * (dp - dsum)
+        dk = dk + jnp.dot(ds.astype(q.dtype).T, q,
+                          preferred_element_type=jnp.float32)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
 def _pad_inputs(q, k, v, bias, block_q, block_k):
     BH, S, D = q.shape
     Sq = -(-S // block_q) * block_q
@@ -248,6 +436,46 @@ def _flash_forward(q, k, v, bias, seed, rate: float,
     dq_, dk_ = _flash_blocks()
     block_q = min(block_q or dq_, S)
     block_k = min(block_k or dk_, S)
+
+    if _ragged_mode(S, D, block_q, block_k, q.dtype.itemsize):
+        S8 = _ceil8(S)
+        Sk = -(-S // block_k) * block_k
+        num_kb = Sk // block_k
+        if S8 != S:
+            q = jnp.pad(q, ((0, 0), (0, S8 - S), (0, 0)))
+        if Sk != S:
+            k = jnp.pad(k, ((0, 0), (0, Sk - S), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, Sk - S), (0, 0)))
+            bias = jnp.pad(bias, ((0, 0), (0, Sk - S)),
+                           constant_values=NEG_INF)
+        out, lse = pl.pallas_call(
+            functools.partial(_flash_kernel_ragged, block_k=block_k,
+                              scale=1.0 / np.sqrt(D), rate=rate),
+            grid=(BH,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, S8, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, num_kb, block_k), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, S8, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S8, _RAGGED_LANE), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((BH, S8, D), jnp.float32),
+                       jax.ShapeDtypeStruct((BH, S8, _RAGGED_LANE),
+                                            jnp.float32)),
+            interpret=_interpret(),
+        )(seed, q, k, v, bias.reshape(BH, num_kb, block_k))
+        return out[:, :S, :], lse
+
     q, k, v, bias, Sq, Sk = _pad_inputs(q, k, v, bias, block_q, block_k)
 
     kernel = functools.partial(_flash_kernel, block_k=block_k,
@@ -293,6 +521,14 @@ def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
     dq_, dk_ = _flash_blocks()
     block_q = min(block_q or dq_, S)
     block_k = min(block_k or dk_, S)
+
+    if _ragged_mode(S, D, block_q, block_k, q.dtype.itemsize):
+        # lse arrived from the ragged forward as (BH, S8, _RAGGED_LANE) —
+        # the mode decision is a pure function of (shape, blocks, env), all
+        # identical at trace time, so fwd and bwd always agree.
+        return _flash_backward_ragged(q, k, v, bias, seed, lse, o, do, rate,
+                                      block_q, block_k)
+
     # D_i = rowsum(do * o) in f32 BEFORE do drops to the operand dtype: one
     # cheap fused elementwise+reduce under XLA, laid out like lse
     # ((BH, num_qb * _STAT_SUB, block_q), see _STAT_SUB)
@@ -361,6 +597,85 @@ def _flash_backward(q, k, v, bias, seed, lse, o, do, rate: float,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),
                                 memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((BH, Sk, D), k.dtype),
+                   jax.ShapeDtypeStruct((BH, Sk, D), v.dtype)),
+        interpret=_interpret(),
+    )(seed, q, k, v, bias8, do, lse, dsum)
+
+    return dq[:, :S, :], dk[:, :S, :], dv[:, :S, :]
+
+
+def _flash_backward_ragged(q, k, v, bias, seed, lse, o, do, rate: float,
+                           block_q: int, block_k: int):
+    """Ragged-Q backward: dq on a (BH,) grid with whole-(S8, D) blocks,
+    dk/dv on the (BH, num_kb) grid with uneven static q chunks.  See the
+    ragged-variants comment block for the layout rules."""
+    BH, S, D = q.shape
+    S8 = _ceil8(S)
+    Sk = -(-S // block_k) * block_k
+    num_kb = Sk // block_k
+    q_chunks = _q_chunks(S8, block_q)
+
+    # D_i = rowsum(do * o) in f32, then lanes-broadcast like lse
+    dsum = jnp.sum(do.astype(jnp.float32) * o, axis=-1)          # (BH, S)
+    if S8 != S:
+        dsum = jnp.pad(dsum, ((0, 0), (0, S8 - S)))
+        q = jnp.pad(q, ((0, 0), (0, S8 - S), (0, 0)))
+        do = jnp.pad(do.astype(q.dtype), ((0, 0), (0, S8 - S), (0, 0)))
+    else:
+        do = do.astype(q.dtype)
+    dsum = jnp.broadcast_to(dsum[:, :, None], (BH, S8, _RAGGED_LANE))
+    if Sk != S:
+        k = jnp.pad(k, ((0, 0), (0, Sk - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Sk - S), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, Sk - S)), constant_values=NEG_INF)
+    bias_blocks = bias.reshape(BH, num_kb, block_k)
+
+    scale = 1.0 / np.sqrt(D)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    whole_q = lambda: pl.BlockSpec((1, S8, D), lambda b: (b, 0, 0),   # noqa: E731
+                                   memory_space=pltpu.VMEM)
+    whole_k = lambda: pl.BlockSpec((1, Sk, D), lambda b: (b, 0, 0),   # noqa: E731
+                                   memory_space=pltpu.VMEM)
+    stats = lambda: pl.BlockSpec((1, S8, _RAGGED_LANE),               # noqa: E731
+                                 lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_ragged, block_k=block_k,
+                          scale=scale, rate=rate),
+        grid=(BH,),
+        in_specs=[smem, whole_q(), whole_k(), whole_k(),
+                  pl.BlockSpec((1, num_kb, block_k), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  whole_q(), stats(), stats()],
+        out_specs=whole_q(),
+        out_shape=jax.ShapeDtypeStruct((BH, S8, D), q.dtype),
+        interpret=_interpret(),
+    )(seed, q, k, v, bias_blocks, do, lse, dsum)
+
+    # sublane-8 grouped per-k-block bias, exactly as the gridded dkv path
+    bias8 = jnp.broadcast_to(
+        bias_blocks[:, :, None, :], (BH, num_kb, _STAT_SUB, block_k),
+    ).reshape(BH, num_kb * _STAT_SUB, block_k)
+
+    whole_q2 = lambda: pl.BlockSpec((1, S8, D), lambda b, i: (b, 0, 0),  # noqa: E731
+                                    memory_space=pltpu.VMEM)
+    stats2 = lambda: pl.BlockSpec((1, S8, _RAGGED_LANE),                 # noqa: E731
+                                  lambda b, i: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    kblk = lambda: pl.BlockSpec((1, block_k, D), lambda b, i: (b, i, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_ragged, q_chunks=q_chunks,
+                          block_k=block_k, scale=scale, rate=rate),
+        grid=(BH, num_kb),
+        in_specs=[smem, whole_q2(), kblk(), kblk(),
+                  pl.BlockSpec((1, _STAT_SUB, block_k), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  whole_q2(), stats2(), stats2()],
+        out_specs=(kblk(), kblk()),
         out_shape=(jax.ShapeDtypeStruct((BH, Sk, D), k.dtype),
                    jax.ShapeDtypeStruct((BH, Sk, D), v.dtype)),
         interpret=_interpret(),

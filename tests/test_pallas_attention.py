@@ -285,3 +285,84 @@ def test_flash_bf16_dropout_mask_matches_f32():
     b16 = fa.flash_attention(q16, k16, v16, bias, seed, rate)
     np.testing.assert_allclose(np.asarray(b16), np.asarray(f32),
                                rtol=2e-2, atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# Ragged-Q mode (round 5): S % block_q != 0 pads Q only to the 8-row sublane
+# tile instead of the 128 block (BERT S = text_len + 2, data/loader.py:47 —
+# EVERY real long-seq shape is ragged; the 128-pad wasted ~55% of the QK/PV
+# FLOPs at T=512, benchmarks/RESULTS.md round-5).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("S", [130, 514])  # 130: 1 full + 8-row tail chunk;
+# 514: the real T=512 bench shape (4 full q chunks + (512, 8) tail)
+def test_flash_ragged_matches_xla(S):
+    BH, D = 4, 64
+    q = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    k = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    v = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    mask = np.ones((BH, S), np.float32)
+    mask[1, S - 9:] = 0
+    mask[2, 5:] = 0
+    bias = jnp.array((1.0 - mask) * fa.NEG_INF)
+    assert fa._ragged_mode(S, D, 128, 128, 4)
+
+    got = fa.flash_attention(q, k, v, bias)
+    want = fa._xla_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    ct = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    gf = jax.grad(lambda *a: jnp.sum(fa.flash_attention(*a, bias) * ct),
+                  argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda *a: jnp.sum(fa._xla_attention(*a, bias) * ct),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_flash_ragged_dropout_bit_identical_to_gridded(monkeypatch):
+    """The in-kernel dropout mask is a pure function of absolute positions,
+    so the ragged and gridded tilings must produce IDENTICAL outputs and
+    grads at rate > 0 — this pins the (row0, col0) offsets of every ragged
+    kernel (fwd qb=0, dkv row0=chunk start)."""
+    BH, S, D = 4, 130, 64
+    q = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    k = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    v = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+    bias = jnp.zeros((BH, S), jnp.float32)
+    seed = jnp.asarray([1234], jnp.int32)
+    ct = jnp.array(RNG.normal(size=(BH, S, D)).astype(np.float32))
+
+    def run():
+        o = fa.flash_attention(q, k, v, bias, seed, 0.1)
+        g = jax.grad(
+            lambda *a: jnp.sum(fa.flash_attention(*a, bias, seed, 0.1) * ct),
+            argnums=(0, 1, 2))(q, k, v)
+        return o, g
+
+    o_r, g_r = run()
+    monkeypatch.setenv("MMDA_FLASH_RAGGED", "0")
+    o_g, g_g = run()
+    assert np.array_equal(np.asarray(o_r), np.asarray(o_g))
+    for a, b in zip(g_r, g_g):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_ragged_mode_decision_matrix():
+    """Pin the routing: block-aligned S stays gridded; ragged S engages at
+    footprint-feasible shapes and falls back when whole-S residency exceeds
+    the scoped-VMEM budget; MMDA_FLASH_RAGGED=0 forces gridded."""
+    assert not fa._ragged_mode(512, 64, 128, 128, 2)   # aligned -> gridded
+    assert not fa._ragged_mode(50, 64, 50, 50, 2)      # S < block -> whole
+    assert fa._ragged_mode(514, 64, 128, 128, 2)       # T=512 bench shape
+    assert fa._ragged_mode(1026, 64, 128, 128, 2)      # T=1024 bench shape
+    assert not fa._ragged_mode(16386, 64, 128, 128, 4)  # footprint fallback
+    import os
+    os.environ["MMDA_FLASH_RAGGED"] = "0"
+    try:
+        assert not fa._ragged_mode(514, 64, 128, 128, 2)
+    finally:
+        del os.environ["MMDA_FLASH_RAGGED"]

@@ -313,3 +313,28 @@ def test_lstm_scan_lowers_long_t_small_blocks(T, B):
         return jax.value_and_grad(loss, argnums=(0, 1))(x_proj, w_hh_t)
 
     _lowers(fwd_bwd, x_proj, w_hh_t)
+
+
+@pytest.mark.parametrize("S,dt", [(514, jnp.bfloat16), (514, jnp.float32),
+                                  (1026, jnp.bfloat16)])
+def test_flash_attention_ragged_lowers(S, dt):
+    """Ragged-Q mode (round 5) at the REAL bench shapes: S = T + 2 is never
+    a multiple of the 128 block, so these are the shapes the kernels
+    actually compile at on hardware.  Whole-(S8, D) blocks, the
+    lanes-broadcast (S8, 8) stats layout, and the uneven static q chunks
+    (incl. the 8-row tail) must all pass Mosaic BEFORE TPU time is queued
+    (round-4 discipline)."""
+    BH, D = 8, 64
+    q = jnp.asarray(RNG.normal(size=(BH, S, D)), dt)
+    k = jnp.asarray(RNG.normal(size=(BH, S, D)), dt)
+    v = jnp.asarray(RNG.normal(size=(BH, S, D)), dt)
+    bias = jnp.zeros((BH, S), jnp.float32)
+    assert pattn._ragged_mode(S, D, 128, 128, q.dtype.itemsize)
+
+    def fwd_bwd(q, k, v):
+        out, vjp = jax.vjp(
+            lambda q, k, v: pattn.flash_attention(q, k, v, bias, SEED, 0.1),
+            q, k, v)
+        return out, vjp(out)
+
+    _lowers(fwd_bwd, q, k, v)
