@@ -56,7 +56,10 @@ VARIANTS = [
 
 def main():
     timeout_s = int(os.environ.get("BENCH_TIMEOUT", "2400"))
-    for tag, delta in VARIANTS:
+    only = os.environ.get("BENCH_ONLY")  # comma-separated tags (queue resume)
+    variants = VARIANTS if not only else [
+        (t, d) for t, d in VARIANTS if t in only.split(",")]
+    for tag, delta in variants:
         env = dict(COMMON)
         env.update(os.environ)
         env.update(delta)

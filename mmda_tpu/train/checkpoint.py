@@ -9,7 +9,11 @@ preemption-safe resume; writes happen on a background thread (async
 checkpointing) with an atomic rename so a preempted write never corrupts the
 previous checkpoint.
 
-Serialization: flax msgpack (framework-native, no pickle of arbitrary code).
+Serialization: the raw-tensor fastser codec by default (train/fastser.py —
+flax msgpack measured 41 MB/s on the 1-core host, 43 s per bert-base
+TrainState save; fastser is ~memcpy speed).  Loads SNIFF the payload magic,
+so legacy flax-msgpack checkpoints keep loading; MMDA_CKPT_CODEC=flax
+forces the legacy writer.  No pickle of arbitrary code either way.
 """
 
 from __future__ import annotations
@@ -24,6 +28,23 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 from flax import serialization
+
+from mmda_tpu.train import fastser
+
+
+def _ser(tree: Any):
+    """Payload for _atomic_write: a chunk list (fastser, streamed to the
+    file without a join pass — the 1-core host moves memory at ~170 MB/s)
+    or a single bytes (legacy flax codec, MMDA_CKPT_CODEC=flax)."""
+    if os.environ.get("MMDA_CKPT_CODEC", "fast") == "flax":
+        return serialization.to_bytes(tree)
+    return fastser.to_chunks(tree)
+
+
+def _deser(template: Any, data: bytes) -> Any:
+    if fastser.is_fastser(data):
+        return fastser.from_bytes(template, data)
+    return serialization.from_bytes(template, data)
 
 
 def _to_host(tree: Any) -> Any:
@@ -56,15 +77,20 @@ def _next_seq(path: str) -> int:
         return seq
 
 
-def _atomic_write(path: str, data: bytes) -> None:
+def _atomic_write(path: str, data) -> None:
     """Write via a UNIQUE temp file in the target dir, then rename.  A fixed
     '<path>.tmp' would let two concurrent writers interleave into one file and
-    rename a corrupt checkpoint into place."""
+    rename a corrupt checkpoint into place.  `data`: bytes, or a list of
+    buffer-like chunks written sequentially (fastser.to_chunks)."""
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                prefix=os.path.basename(path) + ".tmp.")
     try:
         with os.fdopen(fd, "wb") as f:
-            f.write(data)
+            if isinstance(data, (bytes, bytearray, memoryview)):
+                f.write(data)
+            else:
+                for chunk in data:
+                    f.write(chunk)
         os.replace(tmp, path)
     except BaseException:
         try:
@@ -89,7 +115,7 @@ def save_checkpoint(
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     host_state = _to_host(state)
-    payload = serialization.to_bytes(host_state)
+    payload = _ser(host_state)
     meta = dict(metadata or {})
 
     path = os.path.join(ckpt_dir, f"{name}.msgpack")
@@ -165,8 +191,12 @@ def save_checkpoint_incremental(
     base_digest = _base_digest_cache.get(cache_key)
     base_payload = None
     if base_digest is None and frozen_leaves:
-        base_bytes = serialization.to_bytes(_to_host(frozen_leaves))
-        base_digest = hashlib.sha256(base_bytes).hexdigest()[:16]
+        base_bytes = _ser(_to_host(frozen_leaves))
+        h = hashlib.sha256()
+        for chunk in ([base_bytes] if isinstance(base_bytes, bytes)
+                      else base_bytes):
+            h.update(chunk)
+        base_digest = h.hexdigest()[:16]
         base_path = os.path.join(
             ckpt_dir, _FROZEN_BASE_FMT.format(digest=base_digest))
         if not os.path.exists(base_path):
@@ -187,7 +217,7 @@ def save_checkpoint_incremental(
     ema = getattr(state, "ema_params", None)
     if ema is not None:
         delta["ema_trainable"] = _split_params(ema, frozen)[0]
-    payload = serialization.to_bytes(_to_host(delta))
+    payload = _ser(_to_host(delta))
     meta = dict(metadata or {})
     meta["incremental"] = True
     meta["base_digest"] = base_digest
@@ -239,14 +269,14 @@ def load_checkpoint_incremental(ckpt_dir: str, name: str, template: Any,
         # the template TrainState was built with ema_params=None
         delta_template["ema_trainable"] = dict(t_trainable)
     with open(os.path.join(ckpt_dir, f"{name}.inc.msgpack"), "rb") as f:
-        delta = serialization.from_bytes(delta_template, f.read())
+        delta = _deser(delta_template, f.read())
 
     frozen_restored: Dict = {}
     if t_frozen:
         base_path = os.path.join(
             ckpt_dir, _FROZEN_BASE_FMT.format(digest=meta["base_digest"]))
         with open(base_path, "rb") as f:
-            frozen_restored = serialization.from_bytes(t_frozen, f.read())
+            frozen_restored = _deser(t_frozen, f.read())
 
     flat = jax.tree_util.tree_flatten_with_path(template.params)
 
@@ -267,7 +297,7 @@ def load_checkpoint(ckpt_dir: str, name: str, template: Any) -> Any:
     path = os.path.join(ckpt_dir, f"{name}.msgpack")
     with open(path, "rb") as f:
         data = f.read()
-    return serialization.from_bytes(template, data)
+    return _deser(template, data)
 
 
 def load_metadata(ckpt_dir: str, name: str) -> Dict:

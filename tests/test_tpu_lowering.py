@@ -316,7 +316,7 @@ def test_lstm_scan_lowers_long_t_small_blocks(T, B):
 
 
 @pytest.mark.parametrize("S,dt", [(514, jnp.bfloat16), (514, jnp.float32),
-                                  (1026, jnp.bfloat16)])
+                                  (1026, jnp.bfloat16), (258, jnp.bfloat16)])
 def test_flash_attention_ragged_lowers(S, dt):
     """Ragged-Q mode (round 5) at the REAL bench shapes: S = T + 2 is never
     a multiple of the 128 block, so these are the shapes the kernels
