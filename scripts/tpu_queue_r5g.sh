@@ -28,6 +28,10 @@ case "$BATCH" in
   run bench_t512_profile 2400 env BENCH_B=32 BENCH_T=512 BENCH_ATTN=auto \
     BENCH_PROFILE="$LOG/profile/t512_r5g" python bench.py
   run bench_headline_sanity 2400 python bench.py
+  # fwd-only inference crossover with the bf16+ragged kernels (the auto
+  # inference threshold is still the round-4 'XLA through S=1024' line)
+  run bench_infer_crossover 7200 env BENCH_S=512,1024 BENCH_B=8 \
+    python benchmarks/bench_long_seq.py
   ;;
 *)
   echo "unknown batch $BATCH"; exit 2;;
