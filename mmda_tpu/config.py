@@ -387,18 +387,21 @@ class Config:
         attn_impl='auto' (the default) selects from the measured v5e
         crossover (benchmarks/RESULTS.md long-seq tables): training is
         bandwidth-bound on the S^2 attention-probs/mask tensors, which the
-        flash kernel never materializes — flash wins fwd+bwd at S=512
-        (39.25 vs 60.08 ms) and S=1024 (94.85 vs 188.59 ms) — while XLA's
-        fused attention wins short-S training (the S=50 headline) and
-        fwd-only inference through S=1024 (ties there).  `seq_len` defaults
-        to cfg.max_seq_len; model call sites pass the actual static token
-        length.
+        flash kernel never materializes.  With the round-5 bf16-operand +
+        ragged-Q kernels the measured training crossover moved down to
+        S>=256 (full step 139.09 flash vs 143.71 XLA at T=256/B=64;
+        T=512/B=32 143.42 vs 210.71; bench_flash_r5.log) while XLA still
+        wins the short-S headline (S=48: 29.34 flash vs 18.25 XLA) and
+        fwd-only inference through S=1024 (flash's sequential k-loop
+        serializes what XLA runs batch-parallel at fwd-only arithmetic
+        intensity).  `seq_len` defaults to cfg.max_seq_len; model call
+        sites pass the actual static token length.
         """
         if self.attn_impl == "auto":
             if self.use_flash_attention:
                 return "flash"
             s = self.max_seq_len if seq_len is None else seq_len
-            if (training and s >= 512) or (not training and s > 1024):
+            if (training and s >= 256) or (not training and s > 1024):
                 return "flash"
             return "xla"
         if self.attn_impl == "xla" and self.use_flash_attention:

@@ -138,15 +138,20 @@ def test_config_json_roundtrip(tmp_path):
 def test_attn_impl_auto_resolution():
     """attn_impl='auto' (the default) selects flash only where it measured
     faster on v5e (benchmarks/RESULTS.md long-seq tables): training at
-    S>=512, inference at S>1024; XLA everywhere else."""
+    S>=256 (crossover moved down from 512 by the round-5 bf16+ragged
+    kernels, bench_flash_r5.log), inference at S>1024; XLA everywhere
+    else."""
     from mmda_tpu.config import Config
 
     cfg = Config()
     assert cfg.attn_impl == "auto"
     # headline shape: S=50 training stays on XLA's fused attention
+    # (S=48 probe: flash 29.34 vs XLA 18.25 ms even with the new kernels)
     assert cfg.resolved_attn_impl(training=True, seq_len=50) == "xla"
     assert cfg.resolved_attn_impl(training=False, seq_len=50) == "xla"
-    # long-seq training: flash (39.25 vs 60.08 ms at 512)
+    # long-seq training: flash (139.09 vs 143.71 full step at T=256/B=64)
+    assert cfg.resolved_attn_impl(training=True, seq_len=256) == "flash"
+    assert cfg.resolved_attn_impl(training=True, seq_len=255) == "xla"
     assert cfg.resolved_attn_impl(training=True, seq_len=512) == "flash"
     assert cfg.resolved_attn_impl(training=True, seq_len=1024) == "flash"
     # inference: XLA through S=1024 (ties there), flash beyond
